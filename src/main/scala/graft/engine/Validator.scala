@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.{EtsRules, KpiRules, LinkProbe, OfflineLinkProbe, RecordCols}
+import graft.model.Wcmp2Schema
+
+/** The constraint-suite engine.
+  *
+  * Input: the records table `(repo, path, commit, lang, content)`
+  * (BASELINE.json input_hint). Output: one wide row per record carrying the
+  * full ETS + KPI evaluation, from which violations / reports / partition
+  * verdicts are derived.
+  *
+  * Scaling design (SURVEY.md §3.4): the entire row-local rule catalog —
+  * both report arrays, both summaries, the sha256 invariant — compiles into
+  * ONE narrow projection over the scan. No shuffle, no UDF: a 1000-executor
+  * cluster runs it embarrassingly parallel at scan speed. The reference
+  * evaluates the same catalog one record at a time in a Python interpreter,
+  * re-reading every codelist per record (`ets.py:226-227,376-377,450`).
+  * Exchanges appear only in the dataset-level constraints
+  * ([[DatasetRules]]) and the per-partition verdict aggregation.
+  */
+object Validator {
+
+  /** Per-record evaluation: adds sha256, parse status, ETS results +
+    * summary, KPI results + summary + grade. Pure narrow projection. */
+  def validate(records: DataFrame,
+               probe: LinkProbe = OfflineLinkProbe): DataFrame = {
+    val withParsed = records
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("rec", from_json(col("content"), Wcmp2Schema.root))
+      .withColumn("geometry", get_json_object(col("content"), "$.geometry"))
+      .withColumn("props_keys",
+        json_object_keys(get_json_object(col("content"), "$.properties")))
+
+    val rc = RecordCols(col("content"), col("rec"), col("geometry"),
+      col("props_keys"))
+
+    // `json.loads` failure => RuntimeError in the reference
+    // (`/root/reference/pywcmp/util.py:203-219`); here: a parse_error row.
+    // `from_json` PERMISSIVE yields an all-null struct (not null) on
+    // malformed input, so validity is probed on the raw text instead.
+    val parseOk =
+      get_json_object(col("content"), "$").isNotNull
+
+    val ets = EtsRules.catalog(rc)
+    val etsTests = array(ets.map(_.result): _*)
+    val validation = EtsRules.validation(rc).result
+
+    val kpis = KpiRules.catalog(rc, probe)
+    val kpiTests = array(kpis.map(_.result): _*)
+    val kpiTotal = aggregate(kpiTests, lit(0),
+      (acc, t) => acc + t.getField("total"))
+    val kpiScore = aggregate(kpiTests, lit(0),
+      (acc, t) => acc + t.getField("score"))
+    val kpiPct = when(kpiTotal === 0, lit(null).cast(DoubleType))
+      .otherwise(bround(kpiScore.cast(DoubleType) / kpiTotal * 100, 3))
+    // summary comments clobber bug (`kpi.py:573-576`): the dict ends up
+    // holding ALL fields of the LAST test that had comments.
+    val lastCommented = {
+      val flagged = transform(kpiTests,
+        t => when(size(t.getField("comments")) > 0, t))
+      val compacted = array_compact(flagged)
+      get(compacted, size(compacted) - 1)
+    }
+
+    def countCode(codeVal: String): Column =
+      size(filter(etsTests, t => t.getField("code") === codeVal))
+
+    withParsed
+      .withColumn("parse_ok", parseOk)
+      .withColumn("ets_tests", when(parseOk, etsTests))
+      .withColumn("validation", when(parseOk, validation))
+      .withColumn("ets_summary", when(parseOk, struct(
+        countCode("PASSED").as("PASSED"),
+        countCode("FAILED").as("FAILED"),
+        countCode("SKIPPED").as("SKIPPED"))))
+      .withColumn("kpi_tests", when(parseOk, kpiTests))
+      .withColumn("kpi_summary", when(parseOk, struct(
+        kpiTotal.as("total"),
+        kpiScore.as("score"),
+        kpiPct.as("percentage"),
+        KpiRules.grade(kpiPct).as("grade"),
+        lastCommented.as("comments"))))
+      .drop("rec", "geometry", "props_keys")
+  }
+
+  /** Violation rows `(repo, path, commit, lang, rule_id, severity,
+    * diagnostic)` — the north-rule output shape. Severity is ERROR for ETS
+    * failures (the reference CLI exit code is the FAILED count,
+    * `/root/reference/pywcmp/ets.py:83-84`), WARNING for the schema gate
+    * when not enforced, and ERROR for parse failures. */
+  def violations(validated: DataFrame): DataFrame = {
+    val keys = Seq(col("repo"), col("path"), col("commit"), col("lang"))
+
+    val parseViolations = validated.where(!col("parse_ok"))
+      .select(keys :+ lit("parse_error").as("rule_id") :+
+        lit("ERROR").as("severity") :+
+        lit("Encoding error: content is not valid JSON").as("diagnostic"): _*)
+
+    val schemaViolations = validated
+      .where(col("parse_ok") && col("validation.code") === "FAILED")
+      .select(keys :+ col("validation.id").as("rule_id") :+
+        lit("ERROR").as("severity") :+
+        col("validation.message").as("diagnostic"): _*)
+
+    val etsViolations = validated.where(col("parse_ok"))
+      .select(keys :+ explode(col("ets_tests")).as("t"): _*)
+      .where(col("t.code") === "FAILED")
+      .select(keys :+ col("t.id").as("rule_id") :+
+        lit("ERROR").as("severity") :+ col("t.message").as("diagnostic"): _*)
+
+    parseViolations.unionAll(schemaViolations).unionAll(etsViolations)
+  }
+
+  /** Per-partition (lang) verdicts + the resumability fingerprint: row
+    * count and an order-independent XOR of per-row sha256 CRCs, carried to
+    * the metrics ledger (north rule: per-partition lineage + metrics). */
+  def partitionVerdicts(validated: DataFrame): DataFrame = {
+    validated.groupBy(col("lang")).agg(
+      count(lit(1)).as("records"),
+      sum(when(!col("parse_ok"), 1).otherwise(0)).as("parse_errors"),
+      sum(when(col("parse_ok") && col("ets_summary.FAILED") === 0, 1)
+        .otherwise(0)).as("passed_records"),
+      sum(when(col("parse_ok") && col("ets_summary.FAILED") > 0, 1)
+        .otherwise(0)).as("failed_records"),
+      sum(coalesce(col("ets_summary.FAILED"), lit(0))).as("failed_tests"),
+      bround(avg(col("kpi_summary.percentage")), 3).as("mean_kpi_percentage"),
+      bit_xor(crc32(col("sha256"))).as("sha_fingerprint"))
+    .withColumn("verdict",
+      when(col("failed_records") + col("parse_errors") === 0, "PASS")
+        .otherwise("FAIL"))
+  }
+}
