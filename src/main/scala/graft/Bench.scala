@@ -1,24 +1,109 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Validator
+import graft.sources.RecordTable
+
+/** Benchmark harness (driver contract): one JSON line on stdout.
+  *
+  * Headline metric: constraint-suite throughput — rows validated/sec over
+  * a deterministically synthesized records table (full ETS + KPI + summary
+  * catalog per row; the evaluation is forced through a fingerprint
+  * aggregate so column pruning cannot skip any rule). Secondary: wall time
+  * of each driver-contract query at the given scale factor.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Forces evaluation of every engine output column (ets + kpi + sha). */
+  def forceAll(validated: DataFrame): Long = {
+    validated.select(
+      crc32(to_json(struct(col("ets_tests"), col("ets_summary"),
+        col("kpi_tests"), col("kpi_summary"), col("sha256")))).as("fp"))
+      .agg(sum("fp")).collect()
+    validated.count()
+  }
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** rows/sec of the full row-local constraint suite at `rows` scale. */
+  def validatorThroughput(spark: SparkSession, rows: Long): Double = {
+    val records = RecordTable.synthesize(spark, rows)
+    val (_, warm) = time(forceAll(Validator.validate(
+      RecordTable.synthesize(spark, 2000)))) // codegen warmup
+    val (n, sec) = time(forceAll(Validator.validate(records)))
+    require(n == rows, s"expected $rows rows, got $n")
+    val _ = warm
+    rows / sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS",
+      if (sfDir.endsWith("0.1")) "200000" else "20000").toLong
+    val spark = session(cpus)
+
+    val throughput = validatorThroughput(spark, rows)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (_, sec) = time {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        }
+        name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"validator_rows_per_sec","value":$throughput,""" +
+      s""""unit":"rows/sec","validated_rows":$rows,"cpus":$cpus,""" +
+      s""""queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Scaling-efficiency evidence (north rule: >= 0.8 from N to 4N):
+  * the same synthesized input validated at local[8] and local[32],
+  * two timed runs per level, best-of reported.
+  * `efficiency = throughput(4N) / (4 x throughput(N))`. */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "400000").toLong
+    val levels = Seq("8", "32")
+    val results = levels.map { cpus =>
+      val spark = Bench.session(cpus)
+      val t1 = Bench.validatorThroughput(spark, rows)
+      val t2 = Bench.validatorThroughput(spark, rows)
+      spark.stop()
+      // SparkContext must be cleared so the next level gets a new master
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cpus -> math.max(t1, t2)
+    }
+    val tN = results.head._2
+    val t4N = results.last._2
+    val eff = t4N / (4 * tN)
+    println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
+      s""""rows":$rows,""" +
+      results.map { case (c, t) => s""""rows_per_sec_local$c":$t""" }
+        .mkString(",") + "}")
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Validator
+import graft.engine.{DatasetRules, Validator}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.RecordTable
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -159,7 +160,79 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
              min("n_tokens").as("min_tokens"),
-             max("n_tokens").as("max_tokens")))
+             max("n_tokens").as("max_tokens"))),
+    // BPE-ish subword token counting (regex pretokenizer)
+    "q_token_bpe" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.tokenCountBpe(col("text")))
+          .as("total_bpe_tokens"))),
+    // language-ID heuristic: confusion counts vs the labeled lang column
+    "q_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
+
+    // ---- training-data operators (rows-only; ScalaTest-verified) --------
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDedup(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+    // the synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.4), so the demo threshold is set where candidates exist; the
+    // production default stays 0.99 in the operator
+    "q_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), planes = 8,
+          threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "id", "rank").orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries, k = 10)
+        .select("query_id", "id", "rank").orderBy("query_id", "rank")
+    }),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.analyze(t(s, dir, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality.quality_score") >= 0.6, 1).otherwise(0))
+            .as("n_high_quality"),
+          sum("n_tokens_ws").as("tokens_ws"),
+          sum("n_tokens_bpe").as("tokens_bpe"))
+        .orderBy("lang")),
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.pipeline(t(s, dir, "documents"))
+        .groupBy(col("media_meta.format").as("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decode_ok"), 1).otherwise(0)).as("n_decoded"),
+          sum(size(col("sampled_frames"))).as("n_frames_sampled"))
+        .orderBy("format")),
+
+    // ---- dataset-level constraint suite over the records table ----------
+    "q_records_colstats" -> ((s, _) =>
+      DatasetRules.columnStats(RecordTable.synthesize(s, 2000))
+        .orderBy("column")),
+    "q_records_uniqueness" -> ((s, _) => {
+      val base = RecordTable.synthesize(s, 500)
+      DatasetRules.uniquenessViolations(base.unionAll(base.limit(7)))
+        .orderBy("path")
+    }),
+    "q_records_referential" -> ((s, _) =>
+      DatasetRules.referentialViolations(RecordTable.fixtures(s))
+        .orderBy("path")),
+    "q_records_drift" -> ((s, _) =>
+      DatasetRules.langDrift(RecordTable.synthesize(s, 2000))
+        .select(col("lang"), col("drifted")).orderBy("lang"))
   )
 
   /** DuckDB-runnable ANSI SQL twins; column names/aliases match the Spark
@@ -229,6 +302,34 @@ object SparkEntry {
       """SELECT md5(substr(text, 1, 60)) AS prefix_md5,
         | count(*) AS n_copies, min(doc_id) AS keep_id
         | FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT lang, CAST(sum(len(regexp_extract_all(text,
+        | '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')))
+        | AS BIGINT) AS total_bpe_tokens
+        | FROM documents GROUP BY lang""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH toks AS (SELECT lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '') AS tk FROM documents),
+        | hits AS (SELECT lang,
+        |  len(list_filter(tk, t -> list_contains(['the','and','of','to',
+        |   'in','is','that','for','with','a','on','as','at','this','are'],
+        |   t))) AS h_en,
+        |  len(list_filter(tk, t -> list_contains(['le','la','les','de',
+        |   'des','et','en','un','une','du','est','que','pour','dans','au'],
+        |   t))) AS h_fr,
+        |  len(list_filter(tk, t -> list_contains(['der','die','das','und',
+        |   'in','den','von','zu','mit','ist','des','im','ein','eine','auf'],
+        |   t))) AS h_de,
+        |  len(list_filter(tk, t -> list_contains(['el','la','los','las',
+        |   'de','y','en','un','una','del','es','que','por','con','para'],
+        |   t))) AS h_es FROM toks)
+        | SELECT lang, CASE
+        |  WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+        |  WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |  WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |  WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS lang_pred,
+        | count(*) AS n FROM hits GROUP BY 1, 2""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -6,13 +6,25 @@ import graft.dims.Dims
 import graft.functions.{GeoFunctions, Wcmp2Functions => F}
 
 /** Columns every row-local rule is built from. `rec` is the payload parsed
-  * once via `from_json(content, Wcmp2Schema.root)` (Catalyst CSE keeps it a
-  * single parse); `geometry` is the raw `$.geometry` JSON (variable nesting
-  * depth, see [[GeoFunctions]]); `propsKeys` are the top-level keys of the
-  * raw `$.properties` object — the presence-vs-null channel that
-  * `from_json` cannot provide (SURVEY.md §7.4-1). */
+  * once via `from_json(content, Wcmp2Schema.root)` and materialized behind
+  * a Generate barrier (see [[graft.engine.Validator.validate]]) so the
+  * optimizer can never re-inline the parse per reference; `geometry` is the
+  * raw `$.geometry` JSON (variable nesting depth, see [[GeoFunctions]]);
+  * `geoPositions` its pre-flattened coordinate list; `propsKeys` are the
+  * top-level keys of the raw `$.properties` object — the presence-vs-null
+  * channel that `from_json` cannot provide (SURVEY.md §7.4-1). */
 case class RecordCols(content: Column, rec: Column, geometry: Column,
-                      propsKeys: Column)
+                      geoPositions: Column, propsKeys: Column,
+                      titleMisspelledOpt: Option[Column] = None,
+                      descMisspelledOpt: Option[Column] = None) {
+  import graft.functions.{Wcmp2Functions => WF}
+  /** spellcheck results; pass pre-materialized columns (second Generate
+    * barrier in the Validator) — the fallback recomputes per reference. */
+  def titleMisspelled: Column = titleMisspelledOpt.getOrElse(
+    WF.misspelled(rec.getField("properties").getField("title")))
+  def descMisspelled: Column = descMisspelledOpt.getOrElse(
+    WF.misspelled(rec.getField("properties").getField("description")))
+}
 
 /** One ETS conformance test compiled to Catalyst predicates.
   *
@@ -83,7 +95,8 @@ object EtsRules {
   /** extent_geospatial (`ets.py:235-258`). Note the reference's `messsage`
     * typo means FAILED rows carry no message — reproduced here. */
   def extentGeospatial(r: RecordCols): EtsRule = {
-    val fail = r.geometry.isNotNull && !GeoFunctions.boundsInWgs84(r.geometry)
+    val fail = r.geometry.isNotNull &&
+      !GeoFunctions.positionsInWgs84(r.geoPositions)
     EtsRule("extent_geospatial", "extent_geospatial", fail, lit(null))
   }
 

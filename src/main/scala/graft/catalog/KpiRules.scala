@@ -70,7 +70,7 @@ object KpiRules {
     val t = prop(r, "title")
     val words = F.pySplitWs(t)
     val stripped = F.pyStrip(regexp_replace(t, acronymRe, ""))
-    val misspelled = F.misspelled(t)
+    val misspelled = r.titleMisspelled
     val p1 = point(t.isNotNull) // 'Title is present' (kpi.py:102-103)
     val p2 = point(size(words) >= 3)
     val p3 = point(length(t) <= 150)
@@ -106,7 +106,7 @@ object KpiRules {
   def description(r: RecordCols): KpiRule = {
     val bulletinRe = "[A-Z]{4}\\d{2}[\\s_]*[A-Z]{4}"
     val d = prop(r, "description")
-    val misspelled = F.misspelled(d)
+    val misspelled = r.descMisspelled
     val lenOk  = length(d).between(16, 2048)
     val hasHtml = coalesce(d.rlike("<[a-zA-Z!/][^>]*>"), lit(false))
     val hasBulletin = coalesce(d.rlike(bulletinRe), lit(false))

@@ -1,0 +1,164 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dims.Dims
+
+/** Dataset-level constraints (SURVEY.md §2.4 A6-A9) — the checks that only
+  * exist at table scale, mandated by the north rule: per-column stats,
+  * key uniqueness, referential integrity, distribution drift. These are the
+  * only shuffling stages of the engine; each is written for the 100 TB
+  * shape:
+  *
+  *  - stats: ONE pass, sketch-based (HLL++ approx-distinct,
+  *    `percentile_approx` t-digest-style quantiles) — no per-column jobs.
+  *  - uniqueness: two-phase salted aggregation so a hot (repo,path) prefix
+  *    cannot pin a reducer; AQE finishes the job.
+  *  - referential: broadcast LEFT ANTI against the dims (dims are KB-sized;
+  *    if one ever outgrows the broadcast threshold Spark falls back to SMJ
+  *    — the plan shape is identical).
+  *  - drift: per-(lang,bucket) counts then a tiny per-lang PSI/KL reduce;
+  *    never materializes per-row state on the driver.
+  */
+object DatasetRules {
+
+  /** A6: single-pass per-column stats over the records table.
+    * One wide `agg` = one shuffle-free partial-aggregate pass + a 1-row
+    * final reduce. Returns one row per tracked column (long form). */
+  def columnStats(records: DataFrame): DataFrame = {
+    val len = length(col("content")).cast(DoubleType)
+    val wide = records.agg(
+      count(lit(1)).as("n_rows"),
+      // string key columns: null counts + approx distinct (HLL++)
+      sum(when(col("repo").isNull, 1).otherwise(0)).as("repo_nulls"),
+      approx_count_distinct(col("repo")).as("repo_distinct"),
+      sum(when(col("path").isNull, 1).otherwise(0)).as("path_nulls"),
+      approx_count_distinct(col("path")).as("path_distinct"),
+      sum(when(col("commit").isNull, 1).otherwise(0)).as("commit_nulls"),
+      approx_count_distinct(col("commit")).as("commit_distinct"),
+      sum(when(col("lang").isNull, 1).otherwise(0)).as("lang_nulls"),
+      approx_count_distinct(col("lang")).as("lang_distinct"),
+      // content length: full numeric profile incl. quantile sketch
+      sum(when(col("content").isNull, 1).otherwise(0)).as("content_nulls"),
+      min(len).as("content_len_min"),
+      max(len).as("content_len_max"),
+      avg(len).as("content_len_avg"),
+      percentile_approx(len, array(lit(0.5), lit(0.95), lit(0.99)),
+        lit(10000)).as("content_len_q"))
+    val cols = Seq("repo", "path", "commit", "lang", "content")
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"${c}_nulls").cast(LongType).as("null_count"),
+        (if (c == "content") lit(null).cast(LongType)
+         else col(s"${c}_distinct")).as("approx_distinct"),
+        (if (c == "content") col("content_len_min").cast(LongType)
+         else lit(null).cast(LongType)).as("len_min"),
+        (if (c == "content") col("content_len_max").cast(LongType)
+         else lit(null).cast(LongType)).as("len_max"),
+        (if (c == "content") col("content_len_avg")
+         else lit(null).cast(DoubleType)).as("len_avg"),
+        (if (c == "content") col("content_len_q")
+         else lit(null).cast(ArrayType(DoubleType))).as("len_quantiles"))
+    }
+    wide.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** A7: uniqueness of (repo, path, commit) — duplicate identities are
+    * themselves violations (FIXTURES.md §1).
+    *
+    * Two-phase salted count: phase 1 groups by (salt, keys) so a skewed
+    * key hashes across `salt` reducers; phase 2 merges the partials.
+    * With `spark.sql.adaptive.enabled` the second exchange coalesces to
+    * almost nothing (dup keys are rare). */
+  def uniquenessViolations(records: DataFrame, saltBuckets: Int = 64): DataFrame = {
+    val keys = Seq(col("repo"), col("path"), col("commit"))
+    records
+      .groupBy(pmod(crc32(col("content")), lit(saltBuckets)).as("salt") +: keys: _*)
+      .agg(count(lit(1)).as("partial_cnt"))
+      .groupBy(keys: _*)
+      .agg(sum(col("partial_cnt")).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("repo"), col("path"), col("commit"),
+        lit(null).cast(StringType).as("lang"),
+        lit("uniqueness:(repo,path,commit)").as("rule_id"),
+        lit("ERROR").as("severity"),
+        concat(lit("duplicate identity x"), col("cnt")).as("diagnostic"))
+  }
+
+  /** A9: referential-integrity violations via broadcast LEFT ANTI joins
+    * against the vendored dims: the centre-id embedded in the record id
+    * must exist in the centre dim (the dataset-scale version of ETS J1).
+    * Emits violation rows in the engine's standard shape. */
+  def referentialViolations(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    val centres = broadcast(Dims.dimDf(spark, "centre", Dims.centreIds))
+    val withCentre = records.withColumn("centre_id",
+      get(split(get_json_object(col("content"), "$.id"), ":"), lit(3)))
+    withCentre
+      .where(col("centre_id").isNotNull &&
+        !col("centre_id").endsWith("-test"))
+      .join(centres, col("centre_id") === col("centre"), "left_anti")
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        lit("referential:centre_id").as("rule_id"),
+        lit("ERROR").as("severity"),
+        concat(lit("unknown centre_id "), col("centre_id")).as("diagnostic"))
+  }
+
+  /** A8: distribution drift of content length across `lang` partitions.
+    *
+    * Histogram via `width_bucket` + groupBy(lang, bucket) — one shuffle of
+    * |langs| x |buckets| rows regardless of table size — then PSI (and KL)
+    * of each lang's distribution against the global one, computed with a
+    * self-join over the tiny histogram table. PSI >= 0.2 is the
+    * conventional "significant drift" flag. */
+  def langDrift(records: DataFrame, buckets: Int = 20,
+                maxLen: Int = 20000): DataFrame = {
+    val eps = 1e-9
+    val hist = records
+      .select(col("lang"),
+        width_bucket(length(col("content")), lit(0), lit(maxLen),
+          lit(buckets)).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+    val global = hist.groupBy("bucket")
+      .agg(sum("cnt").as("gcnt"))
+      .withColumn("gtotal", sum("gcnt").over())
+      .withColumn("p_global", col("gcnt") / col("gtotal"))
+      .select("bucket", "p_global")
+    val perLang = hist
+      .withColumn("ltotal",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")))
+      .withColumn("p_lang", col("cnt") / col("ltotal"))
+    perLang.join(broadcast(global), Seq("bucket"))
+      .groupBy("lang")
+      .agg(
+        sum((col("p_lang") - col("p_global")) *
+          log((col("p_lang") + eps) / (col("p_global") + eps))).as("psi"),
+        sum(col("p_lang") *
+          log((col("p_lang") + eps) / (col("p_global") + eps))).as("kl"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
+  /** K4/K5 at scale with a REAL probe table: explode all links once, join
+    * the probe dimension on href (broadcast when small, SMJ otherwise),
+    * aggregate health per record. This is the production path that
+    * replaces [[graft.catalog.OfflineLinkProbe]]'s in-row stub. */
+  def linkHealthJoin(records: DataFrame, probeTable: DataFrame): DataFrame = {
+    val links = records
+      .select(col("repo"), col("path"), col("commit"),
+        explode_outer(from_json(get_json_object(col("content"), "$.links"),
+          ArrayType(graft.model.Wcmp2Schema.link))).as("link"))
+      .select(col("repo"), col("path"), col("commit"),
+        col("link.href").as("href"), col("link.type").as("declared_type"))
+      .where(col("href").startsWith("http"))
+    links.join(broadcast(probeTable), Seq("href"), "left")
+      .groupBy("repo", "path", "commit")
+      .agg(
+        count(lit(1)).as("n_http_links"),
+        sum(when(coalesce(col("accessible"), lit(false)), 1).otherwise(0))
+          .as("n_accessible"),
+        sum(when(coalesce(col("declared_type"), col("mime"))
+          .isInCollection(Dims.validMimes), 1).otherwise(0)).as("n_valid_mime"))
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.catalog.{EtsRules, KpiRules, LinkProbe, OfflineLinkProbe, RecordCols}
+import graft.functions.GeoFunctions
 import graft.model.Wcmp2Schema
 
 /** The constraint-suite engine.
@@ -28,15 +29,35 @@ object Validator {
     * summary, KPI results + summary + grade. Pure narrow projection. */
   def validate(records: DataFrame,
                probe: LinkProbe = OfflineLinkProbe): DataFrame = {
+    // PLAN-SHAPE CRITICAL: the parse products are materialized behind an
+    // `explode(array(struct(...)))` Generate barrier. CollapseProject
+    // happily re-inlines expensive expressions into every downstream
+    // reference (measured: 33 JsonToStructs copies, i.e. 33 full JSON
+    // parses per row, ~25x slower); a Generate node is a boundary it
+    // cannot merge through, so `from_json` runs exactly once per row while
+    // deterministic predicates (e.g. partition pruning on `lang`) still
+    // push through to the scan.
+    val geomJson = get_json_object(col("content"), "$.geometry")
+    val parsedStruct = struct(
+      from_json(col("content"), Wcmp2Schema.root).as("rec"),
+      geomJson.as("geometry"),
+      GeoFunctions.positions(geomJson).as("geo_positions"),
+      json_object_keys(get_json_object(col("content"), "$.properties"))
+        .as("props_keys"))
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
-      .withColumn("rec", from_json(col("content"), Wcmp2Schema.root))
-      .withColumn("geometry", get_json_object(col("content"), "$.geometry"))
-      .withColumn("props_keys",
-        json_object_keys(get_json_object(col("content"), "$.properties")))
+      .select(col("*"), explode(array(parsedStruct)).as("_p"))
+      // second barrier: spellcheck each text ONCE (it is referenced by
+      // score + comment-guard + comment-text in the KPIs)
+      .select(col("*"), explode(array(struct(
+        graft.functions.Wcmp2Functions.misspelled(
+          col("_p.rec.properties.title")).as("title"),
+        graft.functions.Wcmp2Functions.misspelled(
+          col("_p.rec.properties.description")).as("desc")))).as("_sp"))
 
-    val rc = RecordCols(col("content"), col("rec"), col("geometry"),
-      col("props_keys"))
+    val rc = RecordCols(col("content"), col("_p.rec"), col("_p.geometry"),
+      col("_p.geo_positions"), col("_p.props_keys"),
+      Some(col("_sp.title")), Some(col("_sp.desc")))
 
     // `json.loads` failure => RuntimeError in the reference
     // (`/root/reference/pywcmp/util.py:203-219`); here: a parse_error row.
@@ -51,40 +72,52 @@ object Validator {
 
     val kpis = KpiRules.catalog(rc, probe)
     val kpiTests = array(kpis.map(_.result): _*)
-    val kpiTotal = aggregate(kpiTests, lit(0),
+
+    // PLAN-SHAPE CRITICAL: every downstream expression references the
+    // materialized `ets_tests` / `kpi_tests` ATTRIBUTES, never the rule
+    // expression trees again. Re-inlining the trees multiplies the
+    // (expensive, non-codegen) `from_json` across the projection —
+    // measured 128 JsonToStructs copies and a ~300x slowdown.
+    val stage1 = withParsed
+      .withColumn("parse_ok", parseOk)
+      .withColumn("ets_tests", when(parseOk, etsTests))
+      .withColumn("validation", when(parseOk, validation))
+      .withColumn("kpi_tests", when(parseOk, kpiTests))
+      .drop("_p", "_sp")
+
+    def countCode(codeVal: String): Column =
+      size(filter(col("ets_tests"), t => t.getField("code") === codeVal))
+    val kpiTotal = aggregate(col("kpi_tests"), lit(0),
       (acc, t) => acc + t.getField("total"))
-    val kpiScore = aggregate(kpiTests, lit(0),
+    val kpiScore = aggregate(col("kpi_tests"), lit(0),
       (acc, t) => acc + t.getField("score"))
-    val kpiPct = when(kpiTotal === 0, lit(null).cast(DoubleType))
-      .otherwise(bround(kpiScore.cast(DoubleType) / kpiTotal * 100, 3))
     // summary comments clobber bug (`kpi.py:573-576`): the dict ends up
     // holding ALL fields of the LAST test that had comments.
     val lastCommented = {
-      val flagged = transform(kpiTests,
+      val flagged = transform(col("kpi_tests"),
         t => when(size(t.getField("comments")) > 0, t))
       val compacted = array_compact(flagged)
       get(compacted, size(compacted) - 1)
     }
 
-    def countCode(codeVal: String): Column =
-      size(filter(etsTests, t => t.getField("code") === codeVal))
-
-    withParsed
-      .withColumn("parse_ok", parseOk)
-      .withColumn("ets_tests", when(parseOk, etsTests))
-      .withColumn("validation", when(parseOk, validation))
-      .withColumn("ets_summary", when(parseOk, struct(
+    stage1
+      .withColumn("ets_summary", when(col("parse_ok"), struct(
         countCode("PASSED").as("PASSED"),
         countCode("FAILED").as("FAILED"),
         countCode("SKIPPED").as("SKIPPED"))))
-      .withColumn("kpi_tests", when(parseOk, kpiTests))
-      .withColumn("kpi_summary", when(parseOk, struct(
-        kpiTotal.as("total"),
-        kpiScore.as("score"),
-        kpiPct.as("percentage"),
-        KpiRules.grade(kpiPct).as("grade"),
+      .withColumn("kpi_total_", kpiTotal)
+      .withColumn("kpi_score_", kpiScore)
+      .withColumn("kpi_pct_",
+        when(col("kpi_total_") === 0, lit(null).cast(DoubleType))
+          .otherwise(bround(
+            col("kpi_score_").cast(DoubleType) / col("kpi_total_") * 100, 3)))
+      .withColumn("kpi_summary", when(col("parse_ok"), struct(
+        col("kpi_total_").as("total"),
+        col("kpi_score_").as("score"),
+        col("kpi_pct_").as("percentage"),
+        KpiRules.grade(col("kpi_pct_")).as("grade"),
         lastCommented.as("comments"))))
-      .drop("rec", "geometry", "props_keys")
+      .drop("kpi_total_", "kpi_score_", "kpi_pct_")
   }
 
   /** Violation rows `(repo, path, commit, lang, rule_id, severity,

@@ -38,19 +38,27 @@ object GeoFunctions {
       .when(gtype === "MultiPolygon", flatten(flatten(from_json(coords, d4))))
   }
 
-  /** struct(minx, miny, maxx, maxy) — shapely `.bounds` equivalent. */
-  def bounds(geomJson: Column): Column = {
-    val pos = positions(geomJson)
-    val xs  = transform(pos, p => get(p, lit(0)))
-    val ys  = transform(pos, p => get(p, lit(1)))
+  /** struct(minx, miny, maxx, maxy) from a PRE-MATERIALIZED position list
+    * (see [[positions]]); referencing positions via an attribute keeps the
+    * coords parse single-evaluation. */
+  def boundsFromPositions(pos: Column): Column = {
+    val xs = transform(pos, p => get(p, lit(0)))
+    val ys = transform(pos, p => get(p, lit(1)))
     struct(
       array_min(xs).as("minx"), array_min(ys).as("miny"),
       array_max(xs).as("maxx"), array_max(ys).as("maxy"))
   }
 
+  /** struct(minx, miny, maxx, maxy) — shapely `.bounds` equivalent. */
+  def bounds(geomJson: Column): Column = boundsFromPositions(positions(geomJson))
+
   /** All 4 bounds within [-180,180] x [-90,90] (`ets.py:250-253`). */
-  def boundsInWgs84(geomJson: Column): Column = {
-    val b = bounds(geomJson)
+  def boundsInWgs84(geomJson: Column): Column =
+    positionsInWgs84(positions(geomJson))
+
+  /** Same range check over a pre-materialized position list. */
+  def positionsInWgs84(pos: Column): Column = {
+    val b = boundsFromPositions(pos)
     b.getField("minx").between(-180, 180) &&
       b.getField("miny").between(-90, 90) &&
       b.getField("maxx").between(-180, 180) &&

@@ -64,10 +64,16 @@ object Wcmp2Functions {
   def spellTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("(?U)\\w[\\w']*\\w|\\w"), lit(0))
 
+  /** float-parseable per Python `float()` — checked with a REGEX, not
+    * `try_cast`: a cast failure raises (and swallows) a stack-filling JVM
+    * exception per token, which profiling showed dominating the hot path. */
+  private val floatLike =
+    "^[+-]?([0-9_]+\\.?[0-9_]*|\\.[0-9_]+)([eE][+-]?[0-9_]+)?$"
+
   def misspelled(text: Column): Column = {
     val toks = spellTokens(text)
     filter(toks, t =>
-      t.try_cast(DoubleType).isNull && !t.isInCollection(Dims.dictionary))
+      !t.rlike(floatLike) && !t.isInCollection(Dims.dictionary))
   }
 
   /** First non-null element of an array (ANSI-safe; null if none). */

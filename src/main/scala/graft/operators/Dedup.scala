@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the O(n^2) all-pairs comparison by
+  * bucketing (LSH bands / simhash chunks / centroid cells) so the only
+  * joins are equi-joins on bucket keys — shuffle-partitionable, AQE-skew
+  * splittable. Exact verification (Jaccard / Hamming / cosine) runs only
+  * inside candidate buckets.
+  */
+object Dedup {
+
+  /** whitespace tokens, lowercased */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** distinct word n-gram shingles */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact dedup via hash-groupBy: one shuffle on the 256-bit content
+    * hash; keeps the smallest id per duplicate group. */
+  def exact(df: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"),
+           collect_list(col(idCol)).as("member_ids"))
+      .where(col("n_copies") > 1)
+
+  /** MinHash signature: k hash permutations approximated with
+    * seed-chained xxhash64 (`xxhash64(seed_i, shingle)`), all inside one
+    * codegen'd projection — no UDF. */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become candidates; each
+    * candidate pair is verified with EXACT shingle Jaccard. Returns
+    * verified near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Plan shape at scale: one narrow pass computes signatures, one explode
+    * (x bands), one shuffle on (band, band_hash), a within-bucket
+    * self-join (buckets are tiny by construction), one dedup of pairs. */
+  def minhashLsh(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // bucket rows carry ONLY (id, band, 8-byte hash): the band explode is
+    // a x`bands` fan-out, so shuffling the shingle arrays through it would
+    // multiply the shuffle volume by `bands` — texts re-join by id later.
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        aggregate(slice(col("sig"), col("band") * r + 1, lit(r)),
+          col("band").cast(LongType), (acc, h) => xxhash64(acc, h)))
+      .select("id", "band", "band_hash")
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    ngramJaccard(df, candidates, textCol, idCol, shingleN)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum of +1/-1 across
+    * token hashes, sign gives the bit. Pure higher-order expressions —
+    * one LongType column, no UDF. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+      val bitSum = aggregate(hashes, lit(0),
+        (s, h) => s + when(call_function("shiftrightunsigned", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      acc.bitwiseOR(when(bitSum > 0, call_function("shiftleft", lit(1L), b))
+        .otherwise(lit(0L)))
+    })
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
+    * chunks of their simhash match (guarantees recall for Hamming
+    * distance <= 3 by pigeonhole); verified with exact Hamming. */
+  def simhashDedup(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        simhash64(col(textCol)).as("sig"))
+      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk_val",
+        call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)
+          .bitwiseAND(lit(0xFFFFL)))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact pairwise n-gram Jaccard for a (small) candidate pair table:
+    * `pairs(id_a, id_b)` joined back to texts. The scale path generates
+    * `pairs` with [[minhashLsh]]; this is the verification kernel alone. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH (sign sketch of
+    * `planes` pseudo-random hyperplanes, derived deterministically from
+    * xxhash64 — no RNG state to ship) buckets vectors; exact cosine runs
+    * within buckets only. */
+  def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id", planes: Int = 16,
+                       threshold: Double = 0.99): DataFrame = {
+    val v = col("vec")
+    val sketch = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => {
+        val dot = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+            x * ((pmod(xxhash64(p, i), lit(1000L)).cast(DoubleType) / 500.0) - 1.0)),
+          lit(0.0d), (s, x) => s + x)
+        acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), p))
+          .otherwise(lit(0L)))
+      })
+    val sigs = df.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
+        (s, x) => s + x * x)))
+      .withColumn("bucket", sketch)
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
+          lit(0.0d), (s, x) => s + x) / (col("a.norm") * col("b.norm")))
+      .where(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-friendly
+  * narrow projections, typed metadata structs — is real and tested. The
+  * actual media DECODE IS A STUB (`decodeStub`): this container has no
+  * image/audio codecs, so decode parses a deterministic fake header
+  * embedded by [[attachFakeMedia]]. In production the stub body is
+  * replaced by a real codec behind the same column signature
+  * (binary -> struct), or by an Arrow-batched `mapPartitions` against a
+  * native library; nothing upstream or downstream changes.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Deterministically attach a fake media payload to each doc:
+    * a 16-byte header (4 magic + format + width + height + n_frames,
+    * big-endian u16s) followed by sha256-derived body bytes. The header is
+    * what [[decodeStub]] parses — same contract as a real container
+    * format. */
+  def attachFakeMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    val fmtIdx = pmod(id, lit(3))
+    val fmt = when(fmtIdx === 0, "img").when(fmtIdx === 1, "aud")
+      .otherwise("vid")
+    val width  = (pmod(xxhash64(lit(1), id), lit(1024)) + 16).cast(IntegerType)
+    val height = (pmod(xxhash64(lit(2), id), lit(1024)) + 16).cast(IntegerType)
+    val frames = when(fmtIdx === 2,
+      (pmod(xxhash64(lit(3), id), lit(240)) + 1).cast(IntegerType))
+      .otherwise(lit(1))
+    def u16be(c: Column): Column =
+      concat(
+        unhex(lpad(hex((c.cast(LongType) / 256).cast(IntegerType) % 256), 2, "0")),
+        unhex(lpad(hex(c.cast(LongType) % 256), 2, "0")))
+    val header = concat(
+      lit("GRFT").cast(BinaryType),
+      lpad(fmt, 4, " ").cast(BinaryType),
+      u16be(width), u16be(height), u16be(frames),
+      unhex(lit("0000")))
+    val body = unhex(sha2(id.cast(StringType), 256)) // 32 deterministic bytes
+    docs
+      .withColumn("media", concat(header, body))
+      .withColumn("media_meta", struct(
+        fmt.as("format"), width.as("width"), height.as("height"),
+        frames.as("n_frames")))
+  }
+
+  /** STUB decode: binary -> media_meta struct by parsing the fake header.
+    * Real deployments swap the body for a codec call with the SAME
+    * signature; every downstream stage is already wired for it. */
+  def decodeStub(media: Column): Column = {
+    def u16(at: Int): Column =
+      (conv(hex(substring(media, at, 1)), 16, 10).cast(IntegerType) * 256 +
+        conv(hex(substring(media, at + 1, 1)), 16, 10).cast(IntegerType))
+    when(substring(media, 1, 4).cast(StringType) === "GRFT", struct(
+      trim(substring(media, 5, 4).cast(StringType)).as("format"),
+      u16(9).as("width"), u16(11).as("height"), u16(13).as("n_frames")))
+      .otherwise(lit(null).cast(mediaMetaType))
+  }
+
+  /** STUB feature extraction: binary -> dense float vector, derived from
+    * payload hash bytes (deterministic stand-in for an image/audio
+    * encoder; the vector shape + normalization are production-real). */
+  def featurizeStub(media: Column, dim: Int = 16): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((pmod(xxhash64(i, media), lit(2000L)).cast(DoubleType) / 1000.0) - 1.0)
+        .cast(FloatType))
+
+  /** Frame sampling for video payloads: every `stride`-th frame index up
+    * to the decoded n_frames — the shape of a real frame sampler (the
+    * per-frame pixel fetch is part of the decode stub). */
+  def sampleFrames(meta: Column, stride: Int = 10): Column =
+    when(meta.getField("format") === "vid",
+      sequence(lit(0), greatest(meta.getField("n_frames") - 1, lit(0)),
+        lit(stride)))
+      .otherwise(array(lit(0)))
+
+  /** Full multimodal pipeline over a documents table: attach -> decode ->
+    * verify decode matches metadata -> featurize -> frame-sample. */
+  def pipeline(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    attachFakeMedia(docs, idCol)
+      .withColumn("decoded", decodeStub(col("media")))
+      .withColumn("decode_ok", col("decoded") === col("media_meta"))
+      .withColumn("features", featurizeStub(col("media")))
+      .withColumn("sampled_frames", sampleFrames(col("decoded")))
+  }
+}

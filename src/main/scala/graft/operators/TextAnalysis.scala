@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (n-gram/stopword heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), document fingerprinting (rolling-hash
+  * selection). All pure Catalyst expressions — one narrow projection per
+  * document, no shuffle, no UDF. */
+object TextAnalysis {
+
+  /** stopword profiles for the n-gram/stopword language-ID heuristic */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with",
+      "a", "on", "as", "at", "this", "are"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "est", "que", "pour", "dans", "au"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+      "ist", "des", "im", "ein", "eine", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una",
+      "del", "es", "que", "por", "con", "para"))
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Language ID: argmax over per-language stopword hit counts; 'und'
+    * (undetermined) when nothing matches. One pass over the token array
+    * per language — |profiles| is a compile-time constant. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-regex token count: the GPT-2-style pretokenizer
+    * pattern family — contractions, letter runs, digit runs, punctuation
+    * runs, whitespace handled implicitly. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"),
+      lit(0)))
+
+  /** Quality signals + composite score in [0,1]:
+    * length band, punctuation ratio, stopword ratio, mean word length,
+    * repetition (distinct/total tokens). The standard cheap pre-filter
+    * stack for web-scale corpus cleaning. */
+  def qualitySignals(text: Column): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+      .cast(DoubleType)
+    val stopHits = size(filter(toks,
+      t => t.isInCollection(langProfiles("en")))).cast(DoubleType)
+    val distinctRatio =
+      when(nToks > 0, size(array_distinct(toks)) / nToks).otherwise(0.0)
+    val meanWordLen = when(nToks > 0,
+      aggregate(toks, lit(0.0d), (s, t) => s + length(t)) / nToks)
+      .otherwise(0.0)
+    val lenOk   = when(nChars.between(200, 50000), 1.0).otherwise(0.0)
+    val punctOk = when(nChars > 0 && punct / nChars <= 0.2, 1.0).otherwise(0.0)
+    val stopOk  = when(nToks > 0 && stopHits / nToks >= 0.05, 1.0).otherwise(0.0)
+    val wordOk  = when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    val repOk   = when(distinctRatio >= 0.3, 1.0).otherwise(0.0)
+    struct(
+      nToks.cast(LongType).as("n_tokens"),
+      nChars.cast(LongType).as("n_chars"),
+      bround(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+      bround(stopHits / greatest(nToks, lit(1.0)), 4).as("stopword_ratio"),
+      bround(distinctRatio, 4).as("distinct_ratio"),
+      bround(meanWordLen, 4).as("mean_word_len"),
+      ((lenOk + punctOk + stopOk + wordOk + repOk) / 5.0).as("quality_score"))
+  }
+
+  /** Document fingerprint: rolling character k-gram hashes with mod-p
+    * selection (the classic "0 mod p" winnowing relative): the sorted set
+    * of k-gram hashes ≡ 0 (mod p). Robust to small edits — shared
+    * fingerprint elements betray overlapping passages. */
+  def fingerprint(text: Column, k: Int = 8, p: Int = 16): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val n = length(norm)
+    val grams = when(n < k, array(xxhash64(norm)))
+      .otherwise(transform(sequence(lit(1), n - k + 1),
+        i => xxhash64(norm.substr(i, lit(k)))))
+    array_sort(array_distinct(filter(grams, h => pmod(h, lit(p)) === 0)))
+  }
+
+  /** Full per-document analysis projection over a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("lang_pred", languageId(col(textCol)))
+      .withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
+      .withColumn("quality", qualitySignals(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3L, "completely different text about training data pipelines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "spark engines compile declarative plans into distributed stages")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the identical pair and keeps the min id") {
+    val dups = Dedup.exact(docs).collect()
+    assert(dups.length == 1)
+    val r = dups.head
+    assert(r.getLong(r.fieldIndex("n_copies")) == 2)
+    assert(r.getLong(r.fieldIndex("keep_id")) == 1)
+  }
+
+  test("minhash LSH finds near-dups, verified by exact jaccard") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L))) // identical: jaccard 1.0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L))) // near-dup
+    // doc 3 and 5 share nothing with others
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash jaccard estimate vs exact jaccard (property-ish)") {
+    // identical texts share every minhash; the verified jaccard is exact
+    val exact = Dedup.ngramJaccard(docs,
+      Seq((1L, 2L)).toDF("id_a", "id_b")).collect().head.getDouble(2)
+    assert(exact > 0.5 && exact < 1.0) // one word differs
+  }
+
+  test("simhash: identical text -> hamming 0, near text -> small hamming") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < 16) // one-word change
+    assert(ham(sigs(1L), sigs(3L)) > ham(sigs(1L), sigs(2L)))
+  }
+
+  test("simhash dedup pairs identical and near docs") {
+    val pairs = Dedup.simhashDedup(docs, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, 0.9f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k: exact cosine ordering with tiebreak") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("IVF top-k finds the exact-match neighbor (same cell by " +
+       "construction) and never beats brute force") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array.tabulate(8)(j => ((21 + j * 3) % 11 - 5).toFloat)))
+      .toDF("query_id", "qvec") // == corpus vector i=3
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5)
+      .orderBy("rank").collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(1) == 3L) // rank 1 = its own duplicate
+    assert(math.abs(ivf.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("language id picks each profile language; 'und' for no hits") {
+    val got = Seq(
+      "the cat is on the mat and this is fine",
+      "le chat est dans la maison pour une heure",
+      "der hund ist in den garten mit der katze",
+      "el gato es un animal y la casa es grande",
+      "zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.languageId(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "fr", "de", "es", "und"))
+  }
+
+  test("token counting: whitespace and BPE-ish regex") {
+    val r = Seq("Hello world, it's 2026!").toDF("text").select(
+      TextAnalysis.tokenCountWs(col("text")),
+      TextAnalysis.tokenCountBpe(col("text"))).as[(Int, Int)].head()
+    assert(r._1 == 4)
+    // Hello | world | , | it | 's | 202 | 6 | !  (digit runs cap at 3,
+    // cl100k-style)
+    assert(r._2 == 8)
+  }
+
+  test("quality signals: clean english text scores higher than junk") {
+    val rows = Seq(
+      "The quick brown fox jumps over the lazy dog. " * 10,
+      "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!!").toDF("text")
+      .select(TextAnalysis.qualitySignals(col("text")).as("q"))
+      .select("q.quality_score").as[Double].collect()
+    assert(rows(0) > rows(1))
+    assert(rows(0) >= 0.8)
+    assert(rows(1) <= 0.4)
+  }
+
+  test("fingerprint: shared passages share fingerprint hashes; disjoint " +
+       "texts don't") {
+    val fps = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5,
+      "PREFIX " + "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5,
+      "totally unrelated content with none of those tokens present here ok " * 5
+    ).toDF("text").select(TextAnalysis.fingerprint(col("text")))
+      .as[Seq[Long]].collect()
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+    assert(fps(0).intersect(fps(2)).isEmpty)
+  }
+
+  test("multimodal pipeline: stub decode round-trips the header; " +
+       "features + frame sampling have production shape") {
+    val out = Multimodal.pipeline(docs).cache()
+    assert(out.where(!col("decode_ok")).count() == 0)
+    val r = out.where(col("media_meta.format") === "vid")
+      .select(col("features"), col("sampled_frames"),
+        col("media_meta.n_frames")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getSeq[Float](0).length == 16)
+      val frames = row.getSeq[Int](1)
+      val n = row.getInt(2)
+      assert(frames.head == 0 && frames.forall(_ < n))
+    }
+    out.unpersist()
+  }
+}
