@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Reports, Validator}
+import graft.sources.RecordTable
+
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val validated = Validator.validate(RecordTable.fixtures(spark))
+
+  test("ets report JSON matches the reference report shape " +
+       "(resources/ets-report.json)") {
+    val json = Reports.reports(validated, "2026-08-16T00:00:00Z")
+      .where(col("path").endsWith("wcmp2-passing.json"))
+      .select("ets_report").as[String].head()
+    val m = spark.read.json(Seq(json).toDS()).collect().head
+    val schema = m.schema.fieldNames.toSet
+    assert(Set("id", "report_type", "summary", "tests", "datetime",
+      "metadata_id", "generated_by").subsetOf(schema))
+    assert(m.getAs[String]("report_type") == "ets")
+    assert(m.getAs[String]("metadata_id") ==
+      "urn:wmo:md:ca-eccc-msc:weather.observations.swob-realtime")
+    // uuid-shaped deterministic id
+    assert(m.getAs[String]("id")
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    val summary = m.getStruct(m.fieldIndex("summary"))
+    assert(summary.getAs[Long]("PASSED") == 12)
+    assert(summary.getAs[Long]("FAILED") == 0)
+  }
+
+  test("kpi report JSON carries tests array in execution order + summary " +
+       "with grade") {
+    val json = Reports.reports(validated, "2026-08-16T00:00:00Z")
+      .where(col("path").endsWith("wcmp2-passing.json"))
+      .select("kpi_report").as[String].head()
+    assert(json.contains(""""report_type":"kpi""""))
+    assert(json.contains(""""grade":"A""""))
+    assert(json.contains(""""total":32"""))
+    assert(json.contains(""""score":32"""))
+  }
+
+  test("reports are deterministic across runs (injected clock, " +
+       "identity-derived ids)") {
+    val a = Reports.reports(validated, "2026-08-16T00:00:00Z")
+      .select("ets_report", "kpi_report").collect().toSeq
+    val b = Reports.reports(Validator.validate(RecordTable.fixtures(spark)),
+      "2026-08-16T00:00:00Z").select("ets_report", "kpi_report")
+      .collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
+
+  test("ETS gate (fail_on_ets default): KPI refused for schema-failing " +
+       "records (kpi.py:81-87)") {
+    val gated = Reports.withEtsGate(validated)
+    val failing = gated.where(col("path").endsWith("wcmp2-failing.json"))
+      .select(col("kpi_summary").isNull, col("kpi_gated"))
+      .as[(Boolean, Boolean)].head()
+    assert(failing == (true, true))
+    // passing records keep their KPI payload
+    val passing = gated.where(col("path").endsWith("wcmp2-passing.json"))
+      .select(col("kpi_summary.score")).as[Int].head()
+    assert(passing == 32)
+    // --no-fail-on-ets: everything evaluated
+    val ungated = Reports.withEtsGate(validated, failOnEts = false)
+    assert(ungated.where(col("path").endsWith("wcmp2-failing.json"))
+      .select(col("kpi_summary.score")).as[Int].head() == 25)
+  }
+
+  test("exit code = ETS FAILED count, like the reference CLI " +
+       "(pywcmp/ets.py:83-84)") {
+    // fixtures: 3 (failing) + 6 single-failure + 1 parse error => 10
+    assert(Reports.exitCode(validated) == 10)
+  }
+}
