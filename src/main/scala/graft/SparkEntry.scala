@@ -222,6 +222,9 @@ object SparkEntry {
     "q_records_colstats" -> ((s, _) =>
       DatasetRules.columnStats(RecordTable.synthesize(s, 2000))
         .orderBy("column")),
+    "q_records_colstats_sketch" -> ((s, _) =>
+      DatasetRules.columnStatsSketch(RecordTable.synthesize(s, 2000))
+        .orderBy("lang")),
     "q_records_uniqueness" -> ((s, _) => {
       val base = RecordTable.synthesize(s, 500)
       DatasetRules.uniquenessViolations(base.unionAll(base.limit(7)))

@@ -64,6 +64,22 @@ object DatasetRules {
     wide.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
+  /** A6 (sketch path): the same single-pass profile built on the custom
+    * datasketches `Aggregator`s ([[graft.sketch.Sketches]]) instead of the
+    * built-ins. The output carries per-group HLL estimates + t-digest
+    * quantiles whose underlying sketches are MERGEABLE across runs — the
+    * incremental-profiling path for a daily 100 TB append (union
+    * yesterday's ledger sketch with today's partials; no rescan). */
+  def columnStatsSketch(records: DataFrame): DataFrame = {
+    import graft.sketch.Sketches
+    records.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_rows"),
+      Sketches.hllDistinct(col("repo")).as("repo_distinct"),
+      Sketches.hllDistinct(col("path")).as("path_distinct"),
+      Sketches.tdigestQuantiles(length(col("content")).cast(DoubleType),
+        Seq(0.5, 0.95, 0.99)).as("content_len_quantiles"))
+  }
+
   /** A7: uniqueness of (repo, path, commit) — duplicate identities are
     * themselves violations (FIXTURES.md §1).
     *

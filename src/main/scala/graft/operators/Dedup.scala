@@ -106,8 +106,10 @@ object Dedup {
   def simhashDedup(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
+    // native codegen'd expression (bit-identical to simhash64, which is
+    // the interpreted higher-order-function reference implementation)
     val sigs = df.select(col(idCol).as("id"),
-        simhash64(col(textCol)).as("sig"))
+        graft.expressions.SimHash64.simhash64(col(textCol)).as("sig"))
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_val",
         call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 moved `Column` to a connect-agnostic API; the classic
+  * converters live in `org.apache.spark.sql.classic` with private[sql]
+  * visibility, so libraries that define native Catalyst expressions reach
+  * them through an in-package shim (the same pattern third-party Spark
+  * extension libraries use). */
+object shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -63,6 +63,20 @@ class EngineSpec extends SparkSpec {
     assert(!content.isNullAt(content.fieldIndex("len_quantiles")))
   }
 
+  test("sketch column stats: mergeable HLL/t-digest profile per lang") {
+    val rows = DatasetRules.columnStatsSketch(
+      RecordTable.synthesize(spark, 2000)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("en", "fr", "de", "zh"))
+    val en = rows("en")
+    assert(en.getLong(en.fieldIndex("n_rows")) == 1400)
+    // every path distinct within lang
+    assert(math.abs(en.getLong(en.fieldIndex("path_distinct")) - 1400)
+      <= 1400 * 0.05)
+    val q = en.getSeq[Double](en.fieldIndex("content_len_quantiles"))
+    assert(q.length == 3 && q(0) > 0 && q(0) <= q(1) && q(1) <= q(2))
+  }
+
   test("uniqueness: duplicated (repo,path,commit) surfaces as violation") {
     val base = RecordTable.synthesize(spark, 100)
     val withDup = base.unionAll(base.limit(3))

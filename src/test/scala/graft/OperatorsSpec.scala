@@ -51,6 +51,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) > ham(sigs(1L), sigs(2L)))
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF " +
+       "reference implementation") {
+    val texts = docs.select("text")
+      .unionAll(Seq("", "  ", "ONE", "Mixed   CASE\ttabs\nnewlines",
+        "unicode Ä ö ü tokens repeated tokens").toDF("text"))
+    val mismatch = texts.select(
+        Dedup.simhash64(col("text")).as("hof"),
+        graft.expressions.SimHash64.simhash64(col("text")).as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(mismatch == 0)
+  }
+
   test("simhash dedup pairs identical and near docs") {
     val pairs = Dedup.simhashDedup(docs, maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
