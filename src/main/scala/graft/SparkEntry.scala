@@ -145,6 +145,40 @@ object SparkEntry {
         .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"))
         .agg(count(lit(1)).as("n"),
              countDistinct(col("user_id")).as("n_users"))),
+    // hierarchical aggregation (ROLLUP)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+    // outer join: customers with/without orders
+    "q_outer_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))),
+    // global top-k with deterministic tiebreak (TopK physical operator)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+    // sessionization via lag window over event time
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+            1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .groupBy("n_sessions").agg(count(lit(1)).as("n_users"))
+    }),
     // exact dedup over documents (hash-groupBy on a prefix fingerprint —
     // the full-text variant is covered by operators.Dedup)
     "q_dedup_exact" -> ((s, dir) =>
@@ -301,6 +335,29 @@ object SparkEntry {
       """SELECT EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS m,
         | count(*) AS n, count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(l_quantity) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_outer_join" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        | SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer
+        | LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)
+        | GROUP BY n_orders""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, CASE WHEN prev_ts IS NULL OR
+        |   CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS new_session FROM (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_ts FROM events)),
+        | per_user AS (SELECT user_id,
+        |   CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |  FROM g GROUP BY user_id)
+        | SELECT n_sessions, count(*) AS n_users FROM per_user
+        | GROUP BY n_sessions""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(substr(text, 1, 60)) AS prefix_md5,
         | count(*) AS n_copies, min(doc_id) AS keep_id

@@ -37,14 +37,20 @@ object Dedup {
            collect_list(col(idCol)).as("member_ids"))
       .where(col("n_copies") > 1)
 
-  /** MinHash signature: k hash permutations approximated with
-    * seed-chained xxhash64 (`xxhash64(seed_i, shingle)`), all inside one
-    * codegen'd projection — no UDF. */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
+  /** MinHash signature from a MATERIALIZED shingle array column: k hash
+    * permutations approximated with seed-chained xxhash64
+    * (`xxhash64(seed_i, shingle)`). The shingle argument must be an
+    * attribute, not the shingles(...) expression — higher-order lambdas
+    * re-evaluate their argument subtree per outer element, so an inlined
+    * shingle expression would be recomputed k times per row. */
+  def minhashSignatureFromShingles(sh: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+
+  /** Convenience text->signature form (tests); production paths hoist the
+    * shingle array first — see [[minhashLsh]]. */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
+    minhashSignatureFromShingles(shingles(text, shingleN), k)
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band hash become candidates; each
@@ -56,21 +62,36 @@ object Dedup {
     * self-join (buckets are tiny by construction), one dedup of pairs. */
   def minhashLsh(df: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+                 threshold: Double = 0.7, shingleN: Int = 3,
+                 maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // bucket rows carry ONLY (id, band, 8-byte hash): the band explode is
     // a x`bands` fan-out, so shuffling the shingle arrays through it would
     // multiply the shuffle volume by `bands` — texts re-join by id later.
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleN).as("sig"))
+    // The shingle array is materialized behind a Generate barrier first
+    // (same plan-shape rule as Validator.validate: never hand an
+    // expensive expression to a higher-order lambda).
+    val sigs = df
+      .select(col(idCol).as("id"),
+        explode(array(shingles(col(textCol), shingleN))).as("sh"))
+      .select(col("id"), minhashSignatureFromShingles(col("sh"), k).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
         aggregate(slice(col("sig"), col("band") * r + 1, lit(r)),
           col("band").cast(LongType), (acc, h) => xxhash64(acc, h)))
       .select("id", "band", "band_hash")
-    val a = sigs.as("a")
-    val b = sigs.as("b")
+    // degenerate-bucket cap: a bucket of m docs yields m^2/2 candidate
+    // pairs, so a near-duplicate-saturated corpus turns the self-join
+    // quadratic. Buckets beyond `maxBucket` are dropped here — mass
+    // duplication is exact/prefix dedup's job ([[exact]]), LSH's job is
+    // the long tail. Standard practice in production MinHash-LSH.
+    val bucketSizes = sigs.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+    val bucketed = sigs.join(bucketSizes, Seq("band", "band_hash"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -105,15 +126,20 @@ object Dedup {
     * distance <= 3 by pigeonhole); verified with exact Hamming. */
   def simhashDedup(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     // native codegen'd expression (bit-identical to simhash64, which is
     // the interpreted higher-order-function reference implementation)
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs0 = df.select(col(idCol).as("id"),
         graft.expressions.SimHash64.simhash64(col(textCol)).as("sig"))
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_val",
         call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)
           .bitwiseAND(lit(0xFFFFL)))
+    // degenerate-bucket cap — see [[minhashLsh]]
+    val bucketSizes = sigs0.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+    val sigs = sigs0.join(bucketSizes, Seq("chunk", "chunk_val"))
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -148,7 +174,8 @@ object Dedup {
     * within buckets only. */
   def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
                        idCol: String = "vec_id", planes: Int = 16,
-                       threshold: Double = 0.99): DataFrame = {
+                       threshold: Double = 0.99,
+                       maxBucket: Int = 1000): DataFrame = {
     val v = col("vec")
     val sketch = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => {
@@ -159,11 +186,16 @@ object Dedup {
         acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), p))
           .otherwise(lit(0L)))
       })
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs0 = df.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
       .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
         (s, x) => s + x * x)))
       .withColumn("bucket", sketch)
+    // degenerate-bucket cap — see [[minhashLsh]]
+    val bucketSizes = sigs0.groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+    val sigs = sigs0.join(bucketSizes, Seq("bucket"))
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -28,8 +28,13 @@ object TextAnalysis {
   /** Language ID: argmax over per-language stopword hit counts; 'und'
     * (undetermined) when nothing matches. One pass over the token array
     * per language — |profiles| is a compile-time constant. */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column =
+    languageIdFromTokens(tokens(text))
+
+  /** languageId over a MATERIALIZED token array attribute (higher-order
+    * lambdas re-evaluate inlined argument subtrees per element — see
+    * [[analyze]]'s Generate barrier). */
+  def languageIdFromTokens(toks: Column): Column = {
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
         size(filter(toks, t => t.isInCollection(words))).as("hits"),
@@ -54,8 +59,11 @@ object TextAnalysis {
     * length band, punctuation ratio, stopword ratio, mean word length,
     * repetition (distinct/total tokens). The standard cheap pre-filter
     * stack for web-scale corpus cleaning. */
-  def qualitySignals(text: Column): Column = {
-    val toks = tokens(text)
+  def qualitySignals(text: Column): Column =
+    qualitySignalsFromTokens(text, tokens(text))
+
+  /** qualitySignals over a materialized token array attribute. */
+  def qualitySignalsFromTokens(text: Column, toks: Column): Column = {
     val nToks = size(toks).cast(DoubleType)
     val nChars = length(text).cast(DoubleType)
     val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
@@ -86,8 +94,16 @@ object TextAnalysis {
     * selection (the classic "0 mod p" winnowing relative): the sorted set
     * of k-gram hashes ≡ 0 (mod p). Robust to small edits — shared
     * fingerprint elements betray overlapping passages. */
-  def fingerprint(text: Column, k: Int = 8, p: Int = 16): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
+  def fingerprint(text: Column, k: Int = 8, p: Int = 16): Column =
+    fingerprintFromNorm(normalizedText(text), k, p)
+
+  /** whitespace-collapsed lower-cased text (hoist this to an attribute
+    * before calling [[fingerprintFromNorm]] — the gram lambda references
+    * it once per gram). */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  def fingerprintFromNorm(norm: Column, k: Int = 8, p: Int = 16): Column = {
     val n = length(norm)
     val grams = when(n < k, array(xxhash64(norm)))
       .otherwise(transform(sequence(lit(1), n - k + 1),
@@ -95,12 +111,20 @@ object TextAnalysis {
     array_sort(array_distinct(filter(grams, h => pmod(h, lit(p)) === 0)))
   }
 
-  /** Full per-document analysis projection over a documents table. */
+  /** Full per-document analysis projection over a documents table.
+    * The token array is materialized ONCE behind a Generate barrier and
+    * every signal derives from the attribute (tokenization would
+    * otherwise be re-evaluated per referencing expression). */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("lang_pred", languageId(col(textCol)))
-      .withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .select(col("*"), explode(array(struct(
+        tokens(col(textCol)).as("toks"),
+        normalizedText(col(textCol)).as("norm")))).as("_t"))
+      .withColumn("lang_pred", languageIdFromTokens(col("_t.toks")))
+      .withColumn("n_tokens_ws", size(col("_t.toks")))
       .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
-      .withColumn("quality", qualitySignals(col(textCol)))
-      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("quality",
+        qualitySignalsFromTokens(col(textCol), col("_t.toks")))
+      .withColumn("fingerprint", fingerprintFromNorm(col("_t.norm")))
+      .drop("_t")
 }
