@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // throughput GC: the validator is allocation-heavy (interpreted
+  // higher-order functions); G1's concurrent cycles throttle 32-thread
+  // scaling on a single shared heap
+  "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"  // 32 local threads are GC-bound below ~32g,

@@ -97,7 +97,8 @@ object Bench {
 object Scaling {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "400000").toLong
-    val levels = Seq("8", "32")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
+      .split(",").toSeq
     val results = levels.map { cpus =>
       val spark = Bench.session(cpus)
       val t1 = Bench.validatorThroughput(spark, rows)

@@ -16,14 +16,18 @@ import graft.functions.{GeoFunctions, Wcmp2Functions => F}
 case class RecordCols(content: Column, rec: Column, geometry: Column,
                       geoPositions: Column, propsKeys: Column,
                       titleMisspelledOpt: Option[Column] = None,
-                      descMisspelledOpt: Option[Column] = None) {
+                      descMisspelledOpt: Option[Column] = None,
+                      pre: Map[String, Column] = Map.empty) {
   import graft.functions.{Wcmp2Functions => WF}
-  /** spellcheck results; pass pre-materialized columns (second Generate
-    * barrier in the Validator) — the fallback recomputes per reference. */
+  /** Pre-materialized kernels (second Generate barrier in the Validator).
+    * Each fallback recomputes the expression per reference — correct but
+    * slower; the Validator always materializes them once per row. */
   def titleMisspelled: Column = titleMisspelledOpt.getOrElse(
     WF.misspelled(rec.getField("properties").getField("title")))
   def descMisspelled: Column = descMisspelledOpt.getOrElse(
     WF.misspelled(rec.getField("properties").getField("description")))
+  def preOr(key: String, fallback: => Column): Column =
+    pre.getOrElse(key, fallback)
 }
 
 /** One ETS conformance test compiled to Catalyst predicates.

@@ -68,8 +68,9 @@ object KpiRules {
     val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
     val bulletinRe = "[A-Z]{4}\\d{2}[\\s_]*[A-Z]{4}"
     val t = prop(r, "title")
-    val words = F.pySplitWs(t)
-    val stripped = F.pyStrip(regexp_replace(t, acronymRe, ""))
+    val words = r.preOr("title_words", F.pySplitWs(t))
+    val stripped = r.preOr("title_stripped",
+      F.pyStrip(regexp_replace(t, acronymRe, "")))
     val misspelled = r.titleMisspelled
     val p1 = point(t.isNotNull) // 'Title is present' (kpi.py:102-103)
     val p2 = point(size(words) >= 3)
@@ -169,8 +170,8 @@ object KpiRules {
   /** kpi_graphic_overview — total 3 per `rel == 'preview'` link
     * (`kpi.py:279-328`). */
   def graphicOverview(r: RecordCols, probe: LinkProbe): KpiRule = {
-    val previews = filter(r.rec.getField("links"),
-      l => l.getField("rel") === "preview")
+    val previews = r.preOr("previews",
+      filter(r.rec.getField("links"), l => l.getField("rel") === "preview"))
     def mimeOk(l: Column): Column = {
       val declared = coalesce(l.getField("type"), lit(""))
       declared.isInCollection(Dims.webImageMimes) &&
@@ -192,7 +193,12 @@ object KpiRules {
   /** kpi_links_health — total 2 per http(s) URL in the pooled link set
     * (`kpi.py:330-405`): record links, then per theme its concept `url`s
     * and its scheme, then contact links. */
-  def linksHealth(r: RecordCols, probe: LinkProbe): KpiRule = {
+  /** The pooled link set of kpi_links_health (`kpi.py:356-374`): record
+    * links, then per theme its concept urls and scheme, then contact
+    * links — filtered to http(s). Exposed so the Validator can
+    * materialize it once per row (it is referenced by total, score and
+    * comments). */
+  def httpLinkPool(r: RecordCols): Column = {
     val hrefType = (href: Column, t: Column) =>
       struct(href.as("href"), t.as("type"))
     val recordLinks = transform(r.rec.getField("links"),
@@ -213,8 +219,12 @@ object KpiRules {
       coalesce(recordLinks, emptyPool),
       coalesce(themeLinks, emptyPool),
       coalesce(contactLinks, emptyPool))
-    val httpLinks = filter(pool, p =>
+    filter(pool, p =>
       p.getField("href").isNotNull && p.getField("href").startsWith("http"))
+  }
+
+  def linksHealth(r: RecordCols, probe: LinkProbe): KpiRule = {
+    val httpLinks = r.preOr("http_links", httpLinkPool(r))
     def typeOk(p: Column): Column =
       probe.mime(p.getField("href"), p.getField("type"))
         .isInCollection(Dims.validMimes)

@@ -37,34 +37,57 @@ object Validator {
     // cannot merge through, so `from_json` runs exactly once per row while
     // deterministic predicates (e.g. partition pruning on `lang`) still
     // push through to the scan.
-    val geomJson = get_json_object(col("content"), "$.geometry")
+    // one json_tuple Generate extracts both raw sub-documents in a single
+    // scan of the text (get_json_object would re-scan + re-serialize per
+    // call); parse_ok costs one more parse via try_parse_json (returns
+    // null on malformed input — `json.loads` semantics).
     val parsedStruct = struct(
       from_json(col("content"), Wcmp2Schema.root).as("rec"),
-      geomJson.as("geometry"),
-      GeoFunctions.positions(geomJson).as("geo_positions"),
-      json_object_keys(get_json_object(col("content"), "$.properties"))
-        .as("props_keys"))
+      col("_geom").as("geometry"),
+      GeoFunctions.positions(col("_geom")).as("geo_positions"),
+      json_object_keys(col("_props")).as("props_keys"),
+      try_parse_json(col("content")).isNotNull.as("parse_ok"))
+    // second barrier: per-row kernels that multiple rule expressions
+    // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
+    // words/stripped x4/x4, K4 previews x3) — materialized ONCE each.
+    val rc0 = RecordCols(col("content"), col("_p.rec"), col("_p.geometry"),
+      col("_p.geo_positions"), col("_p.props_keys"))
+    val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
+    val titleCol = col("_p.rec.properties.title")
+    val kernels = struct(
+      graft.functions.Wcmp2Functions.misspelled(titleCol).as("title_mis"),
+      graft.functions.Wcmp2Functions.misspelled(
+        col("_p.rec.properties.description")).as("desc_mis"),
+      graft.functions.Wcmp2Functions.pySplitWs(titleCol).as("title_words"),
+      graft.functions.Wcmp2Functions.pyStrip(
+        regexp_replace(titleCol, acronymRe, "")).as("title_stripped"),
+      KpiRules.httpLinkPool(rc0).as("http_links"),
+      filter(col("_p.rec.links"),
+        l => l.getField("rel") === "preview").as("previews"))
+
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
+      .select(col("*"),
+        json_tuple(col("content"), "geometry", "properties"))
+      .withColumnRenamed("c0", "_geom").withColumnRenamed("c1", "_props")
       .select(col("*"), explode(array(parsedStruct)).as("_p"))
-      // second barrier: spellcheck each text ONCE (it is referenced by
-      // score + comment-guard + comment-text in the KPIs)
-      .select(col("*"), explode(array(struct(
-        graft.functions.Wcmp2Functions.misspelled(
-          col("_p.rec.properties.title")).as("title"),
-        graft.functions.Wcmp2Functions.misspelled(
-          col("_p.rec.properties.description")).as("desc")))).as("_sp"))
+      .select(col("*"), explode(array(kernels)).as("_k"))
 
-    val rc = RecordCols(col("content"), col("_p.rec"), col("_p.geometry"),
-      col("_p.geo_positions"), col("_p.props_keys"),
-      Some(col("_sp.title")), Some(col("_sp.desc")))
+    val rc = rc0.copy(
+      titleMisspelledOpt = Some(col("_k.title_mis")),
+      descMisspelledOpt = Some(col("_k.desc_mis")),
+      pre = Map(
+        "title_words" -> col("_k.title_words"),
+        "title_stripped" -> col("_k.title_stripped"),
+        "http_links" -> col("_k.http_links"),
+        "previews" -> col("_k.previews")))
 
     // `json.loads` failure => RuntimeError in the reference
     // (`/root/reference/pywcmp/util.py:203-219`); here: a parse_error row.
     // `from_json` PERMISSIVE yields an all-null struct (not null) on
-    // malformed input, so validity is probed on the raw text instead.
-    val parseOk =
-      get_json_object(col("content"), "$").isNotNull
+    // malformed input, so validity was probed on the raw text in the
+    // barrier; referenced here as an attribute (it guards 3 columns).
+    val parseOk = col("_p.parse_ok")
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
@@ -83,7 +106,7 @@ object Validator {
       .withColumn("ets_tests", when(parseOk, etsTests))
       .withColumn("validation", when(parseOk, validation))
       .withColumn("kpi_tests", when(parseOk, kpiTests))
-      .drop("_p", "_sp")
+      .drop("_p", "_k", "_geom", "_props")
 
     def countCode(codeVal: String): Column =
       size(filter(col("ets_tests"), t => t.getField("code") === codeVal))

@@ -75,7 +75,10 @@ object Dedup {
     val sigs = df
       .select(col(idCol).as("id"),
         explode(array(shingles(col(textCol), shingleN))).as("sh"))
-      .select(col("id"), minhashSignatureFromShingles(col("sh"), k).as("sig"))
+      // native codegen'd signature (bit-identical to
+      // minhashSignatureFromShingles, the HOF reference impl)
+      .select(col("id"),
+        graft.expressions.MinHashSig.minhashSig(col("sh"), k).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
         aggregate(slice(col("sig"), col("band") * r + 1, lit(r)),

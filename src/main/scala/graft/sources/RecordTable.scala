@@ -65,9 +65,14 @@ object RecordTable {
     18 -> "data_policy",          // wmo:dataPolicy key removed
     19 -> "links")                // rel -> unknown 'download'
 
-  def synthesize(spark: SparkSession, n: Long): DataFrame = {
+  def synthesize(spark: SparkSession, n: Long,
+                 partitions: Int = 0): DataFrame = {
     val template = fixtureContent("wcmp2-passing.json")
-    val base = spark.range(0, n).toDF("i")
+    // 4 waves per core by default: a single task wave (range's default =
+    // defaultParallelism) lets any per-task skew idle whole threads
+    val parts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism * 4
+    val base = spark.range(0, n, 1, parts).toDF("i")
 
     def rep(c: org.apache.spark.sql.Column, s: String, r: org.apache.spark.sql.Column) =
       call_function("replace", c, lit(s), r)

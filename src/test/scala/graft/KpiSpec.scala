@@ -87,6 +87,47 @@ class KpiSpec extends SparkSpec {
       Seq("No host contact found"))
   }
 
+  test("failing record: full KPI decomposition 25/30 (title 7/8 sentence " +
+       "case, intervals 2/3 no resolution, links 12/12 with scheme-less " +
+       "theme, contacts 0/3)") {
+    val k = kpis("wcmp2-failing.json")
+    def ts(name: String): (Int, Int) = {
+      val t = k(name)
+      (t.getInt(t.fieldIndex("total")), t.getInt(t.fieldIndex("score")))
+    }
+    assert(ts("good_quality_title") == (8, 7))
+    assert(ts("good_quality_description") == (4, 4))
+    // fixture drops `resolution` from time (diff vs passing)
+    assert(ts("time_intervals") == (3, 2))
+    assert(ts("graphic_overview_for_metadata_records") == (0, 0))
+    // theme 1 lost its scheme -> pool has 6 http urls, not 7
+    assert(ts("links_health") == (12, 12))
+    assert(ts("contacts") == (3, 0))
+    assert(ts("persistent_identifiers") == (0, 0))
+    val r = validated("wcmp2-failing.json")
+    val s = r.getStruct(r.fieldIndex("kpi_summary"))
+    assert(s.getInt(s.fieldIndex("total")) == 30)
+    assert(s.getInt(s.fieldIndex("score")) == 25)
+    assert(s.getDouble(s.fieldIndex("percentage")) == 83.333)
+    assert(s.getString(s.fieldIndex("grade")) == "A")
+  }
+
+  test("all single-failure fixtures keep the full 32/32 KPI score") {
+    Seq("wcmp2-failing-created-none.json",
+        "wcmp2-failing-invalid-centre-id.json",
+        "wcmp2-failing-invalid-geometry-range.json",
+        "wcmp2-failing-invalid-identifier-empty.json",
+        "wcmp2-failing-invalid-identifier-space.json",
+        "wcmp2-failing-invalid-link-channel-wis2-topic.json",
+        "wcmp2-passing-test-centre-id.json").foreach { f =>
+      val r = validated(f)
+      val s = r.getStruct(r.fieldIndex("kpi_summary"))
+      assert(s.getInt(s.fieldIndex("total")) == 32, f)
+      assert(s.getInt(s.fieldIndex("score")) == 32, f)
+      assert(s.getString(s.fieldIndex("grade")) == "A", f)
+    }
+  }
+
   test("summary comments clobber bug: last commented test's fields " +
        "(kpi.py:573-576)") {
     val r = validated("wcmp2-failing.json")

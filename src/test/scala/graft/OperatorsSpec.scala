@@ -51,6 +51,16 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) > ham(sigs(1L), sigs(2L)))
   }
 
+  test("native MinHashSig expression is bit-identical to the HOF " +
+       "reference implementation") {
+    val sh = docs.select(Dedup.shingles(col("text")).as("sh"))
+    val mismatch = sh.select(
+        Dedup.minhashSignatureFromShingles(col("sh"), 64).as("hof"),
+        graft.expressions.MinHashSig.minhashSig(col("sh"), 64).as("native"))
+      .where(to_json(col("hof")) =!= to_json(col("native"))).count()
+    assert(mismatch == 0)
+  }
+
   test("native SimHash64 expression is bit-identical to the HOF " +
        "reference implementation") {
     val texts = docs.select("text")
