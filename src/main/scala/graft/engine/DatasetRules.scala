@@ -25,7 +25,9 @@ object DatasetRules {
 
   /** A6: single-pass per-column stats over the records table.
     * One wide `agg` = one shuffle-free partial-aggregate pass + a 1-row
-    * final reduce. Returns one row per tracked column (long form). */
+    * final reduce. Returns one row per tracked column (long form).
+    * Quantiles are emitted as SCALAR q50/q95/q99 columns (flat, orderable,
+    * oracle-comparable) rather than an array column. */
   def columnStats(records: DataFrame): DataFrame = {
     val len = length(col("content")).cast(DoubleType)
     val wide = records.agg(
@@ -58,8 +60,12 @@ object DatasetRules {
          else lit(null).cast(LongType)).as("len_max"),
         (if (c == "content") col("content_len_avg")
          else lit(null).cast(DoubleType)).as("len_avg"),
-        (if (c == "content") col("content_len_q")
-         else lit(null).cast(ArrayType(DoubleType))).as("len_quantiles"))
+        (if (c == "content") element_at(col("content_len_q"), 1)
+         else lit(null).cast(DoubleType)).as("len_q50"),
+        (if (c == "content") element_at(col("content_len_q"), 2)
+         else lit(null).cast(DoubleType)).as("len_q95"),
+        (if (c == "content") element_at(col("content_len_q"), 3)
+         else lit(null).cast(DoubleType)).as("len_q99"))
     }
     wide.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
@@ -77,23 +83,30 @@ object DatasetRules {
       Sketches.hllDistinct(col("repo")).as("repo_distinct"),
       Sketches.hllDistinct(col("path")).as("path_distinct"),
       Sketches.tdigestQuantiles(length(col("content")).cast(DoubleType),
-        Seq(0.5, 0.95, 0.99)).as("content_len_quantiles"))
+        Seq(0.5, 0.95, 0.99)).as("_q"))
+      // flatten the quantile array to scalar columns (one t-digest
+      // aggregation; the element_at projections are post-agg and free)
+      .select(col("lang"), col("n_rows"), col("repo_distinct"),
+        col("path_distinct"),
+        element_at(col("_q"), 1).as("content_len_q50"),
+        element_at(col("_q"), 2).as("content_len_q95"),
+        element_at(col("_q"), 3).as("content_len_q99"))
   }
 
   /** A7: uniqueness of (repo, path, commit) — duplicate identities are
     * themselves violations (FIXTURES.md §1).
     *
-    * Two-phase salted count: phase 1 groups by (salt, keys) so a skewed
-    * key hashes across `salt` reducers; phase 2 merges the partials.
-    * With `spark.sql.adaptive.enabled` the second exchange coalesces to
-    * almost nothing (dup keys are rare). */
-  def uniquenessViolations(records: DataFrame, saltBuckets: Int = 64): DataFrame = {
+    * Single count-only groupBy: hash aggregation partial-aggregates
+    * map-side, so a hot key contributes at most one partial row per map
+    * partition to the exchange — the reducer for the hottest key merges
+    * <= numPartitions partials, never the raw rows. Salting would be
+    * needed only for aggregates without map-side reduction
+    * (e.g. collect_list); for counts it adds a shuffle for nothing. */
+  def uniquenessViolations(records: DataFrame): DataFrame = {
     val keys = Seq(col("repo"), col("path"), col("commit"))
     records
-      .groupBy(pmod(crc32(col("content")), lit(saltBuckets)).as("salt") +: keys: _*)
-      .agg(count(lit(1)).as("partial_cnt"))
       .groupBy(keys: _*)
-      .agg(sum(col("partial_cnt")).as("cnt"))
+      .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
       .select(col("repo"), col("path"), col("commit"),
         lit(null).cast(StringType).as("lang"),

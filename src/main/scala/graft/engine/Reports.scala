@@ -75,11 +75,17 @@ object Reports {
         when(!col("kpi_gated"), col("kpi_summary")))
 
   /** Driver exit code semantics: the reference CLI exits with the FAILED
-    * count (`/root/reference/pywcmp/ets.py:83-84`). */
+    * count (`/root/reference/pywcmp/ets.py:83-84`). A record that fails to
+    * parse ABORTS the reference run (`json.loads` raises through
+    * `parse_wcmp`, `/root/reference/pywcmp/util.py:203-219` — there is no
+    * "count it as one failure" path), so any parse error here maps to the
+    * abort code 255. Null-safe on empty input (exit 0). */
   def exitCode(validated: DataFrame): Int = {
-    val failed = validated.agg(
-      sum(coalesce(col("ets_summary.FAILED"), lit(1))).as("f"))
-      .collect()(0).getLong(0)
-    math.min(failed, 255L).toInt
+    val row = validated.agg(
+      coalesce(sum(col("ets_summary.FAILED")), lit(0L)).as("failed"),
+      coalesce(sum(when(!col("parse_ok"), 1L).otherwise(0L)), lit(0L))
+        .as("parse_errors")).collect()(0)
+    if (row.getLong(1) > 0) 255
+    else math.min(row.getLong(0), 255L).toInt
   }
 }

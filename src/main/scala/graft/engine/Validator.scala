@@ -144,10 +144,10 @@ object Validator {
   }
 
   /** Violation rows `(repo, path, commit, lang, rule_id, severity,
-    * diagnostic)` — the north-rule output shape. Severity is ERROR for ETS
-    * failures (the reference CLI exit code is the FAILED count,
-    * `/root/reference/pywcmp/ets.py:83-84`), WARNING for the schema gate
-    * when not enforced, and ERROR for parse failures. */
+    * diagnostic)` — the north-rule output shape. Severity is ERROR for all
+    * three sources: ETS test failures (the reference CLI exit code is the
+    * FAILED count, `/root/reference/pywcmp/ets.py:83-84`), schema-gate
+    * failures, and parse failures. */
   def violations(validated: DataFrame): DataFrame = {
     val keys = Seq(col("repo"), col("path"), col("commit"), col("lang"))
 

@@ -41,15 +41,16 @@ object Wcmp2Functions {
     *   %Y-%m-%dT%H:%M:%SZ | %Y-%m-%dT%H:%M:%S.%fZ | %Y-%m-%dT%H:%M:%S%z
     * Implemented as: calendar validity of the 19-char prefix via
     * `try_to_timestamp` + structural regex for the three accepted suffixes
-    * (Z, .1-6 fractional digits + Z, or a ±HH[:?MM[:?SS]] offset — the
-    * forms Python's %z accepts). */
+    * (Z, .1-6 fractional digits + Z, or a ±HHMM / ±HHMMSS / ±HH:MM[:SS]
+    * offset — exactly the forms Python's %z accepts; a bare ±HH raises in
+    * `strptime` and is rejected here too). */
   def isValidCreatedDatetime(c: Column): Column = {
     val calendarOk =
       try_to_timestamp(substring(c, 1, 19), lit("yyyy-MM-dd'T'HH:mm:ss"))
         .isNotNull
     val structural = c.rlike(
       "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}" +
-        "(Z|\\.[0-9]{1,6}Z|[+-]([0-9]{2}|[0-9]{4}|[0-9]{6}|" +
+        "(Z|\\.[0-9]{1,6}Z|[+-]([0-9]{4}|[0-9]{6}|" +
         "[0-9]{2}:[0-9]{2}(:[0-9]{2})?))$")
     calendarOk && structural
   }

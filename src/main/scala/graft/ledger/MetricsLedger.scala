@@ -42,13 +42,16 @@ class MetricsLedger(dir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Langs already verified and committed. */
+  /** Langs already verified and committed. (`Files.list` streams must be
+    * closed per its javadoc — `Using` guarantees it.) */
   def committedLangs(): Set[String] =
-    Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripPrefix("lang=").stripSuffix(".commit"))
-      .toSet
+    scala.util.Using.resource(Files.list(root)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".commit"))
+        .map(_.stripPrefix("lang=").stripSuffix(".commit"))
+        .toSet
+    }
 
   def read(lang: String): Option[String] = {
     val f = fileFor(lang)

@@ -29,13 +29,27 @@ object Dedup {
   }
 
   /** Exact dedup via hash-groupBy: one shuffle on the 256-bit content
-    * hash; keeps the smallest id per duplicate group. */
+    * hash; keeps the smallest id per duplicate group and a BOUNDED member
+    * sample (first `memberCap` ids). An unbounded `collect_list` would
+    * build an O(group size) aggregation buffer — a 10^7-copy group at
+    * 100 TB is one reducer OOM — so membership is ranked with a window
+    * first and only ranks <= memberCap enter the list (the window's sort
+    * and the groupBy share the content_sha partitioning: one exchange).
+    * The full membership is recoverable by joining the corpus back on
+    * content_sha. */
   def exact(df: DataFrame, textCol: String = "text",
-            idCol: String = "doc_id"): DataFrame =
-    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
-      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"),
-           collect_list(col(idCol)).as("member_ids"))
+            idCol: String = "doc_id", memberCap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(sha2(col(textCol), 256).as("content_sha"),
+      col(idCol).as("_id"))
+    val ranked = keyed.withColumn("_rn",
+      row_number().over(Window.partitionBy("content_sha").orderBy("_id")))
+    ranked.groupBy("content_sha")
+      .agg(count(lit(1)).as("n_copies"), min("_id").as("keep_id"),
+        sort_array(collect_list(when(col("_rn") <= memberCap, col("_id"))))
+          .as("member_sample"))
       .where(col("n_copies") > 1)
+  }
 
   /** MinHash signature from a MATERIALIZED shingle array column: k hash
     * permutations approximated with seed-chained xxhash64

@@ -60,7 +60,10 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(ad - 1000) <= 100)
     val content = stats("content")
     assert(content.getLong(content.fieldIndex("len_min")) > 0)
-    assert(!content.isNullAt(content.fieldIndex("len_quantiles")))
+    val q50 = content.getDouble(content.fieldIndex("len_q50"))
+    val q95 = content.getDouble(content.fieldIndex("len_q95"))
+    val q99 = content.getDouble(content.fieldIndex("len_q99"))
+    assert(q50 > 0 && q50 <= q95 && q95 <= q99)
   }
 
   test("sketch column stats: mergeable HLL/t-digest profile per lang") {
@@ -73,8 +76,9 @@ class EngineSpec extends SparkSpec {
     // every path distinct within lang
     assert(math.abs(en.getLong(en.fieldIndex("path_distinct")) - 1400)
       <= 1400 * 0.05)
-    val q = en.getSeq[Double](en.fieldIndex("content_len_quantiles"))
-    assert(q.length == 3 && q(0) > 0 && q(0) <= q(1) && q(1) <= q(2))
+    val q = Seq("content_len_q50", "content_len_q95", "content_len_q99")
+      .map(f => en.getDouble(en.fieldIndex(f)))
+    assert(q(0) > 0 && q(0) <= q(1) && q(1) <= q(2))
   }
 
   test("uniqueness: duplicated (repo,path,commit) surfaces as violation") {

@@ -71,6 +71,13 @@ class FunctionsSpec extends SparkSpec {
     assert(!dtValid("2024-02-30T14:29:22Z"))  // bad day-of-month
     assert(!dtValid("2024-08-09T14:29:22.1234567Z")) // %f max 6 digits
     assert(!dtValid(""))
+    // Python parity: strptime('%z') raises on a bare ±HH offset —
+    // verified: datetime.strptime('2024-08-09T14:29:22+04',
+    // '%Y-%m-%dT%H:%M:%S%z') -> ValueError. ±HHMM / ±HH:MM stay valid.
+    assert(!dtValid("2024-08-09T14:29:22+04"))
+    assert(!dtValid("2024-08-09T14:29:22-04"))
+    assert(dtValid("2024-08-09T14:29:22-0430"))
+    assert(dtValid("2024-08-09T14:29:22+04:00:30"))
   }
 
   test("pyCapitalize matches Python str.capitalize semantics") {

@@ -68,8 +68,13 @@ class ReportsSpec extends SparkSpec {
   }
 
   test("exit code = ETS FAILED count, like the reference CLI " +
-       "(pywcmp/ets.py:83-84)") {
-    // fixtures: 3 (failing) + 6 single-failure + 1 parse error => 10
-    assert(Reports.exitCode(validated) == 10)
+       "(pywcmp/ets.py:83-84); parse errors abort (util.py:203-219)") {
+    // fixtures include a not-json record: the reference run would raise,
+    // so the table run maps it to the abort code
+    assert(Reports.exitCode(validated) == 255)
+    // without the parse-error record: 3 (failing) + 6 single-failure => 9
+    assert(Reports.exitCode(validated.where(col("parse_ok"))) == 9)
+    // empty input: exit 0 (no NPE on the null sum)
+    assert(Reports.exitCode(validated.where(lit(false))) == 0)
   }
 }
