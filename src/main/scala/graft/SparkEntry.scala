@@ -214,6 +214,10 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashDedup(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
+    // no-silent-caps contract: how many LSH buckets the maxBucket cap
+    // dropped (and the band rows inside them) for the minhash run above
+    "q_lsh_bucket_stats" -> ((s, dir) =>
+      Dedup.minhashBucketStats(t(s, dir, "documents"))),
     // the synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.4), so the demo threshold is set where candidates exist; the
     // production default stays 0.99 in the operator

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -12,6 +13,20 @@ import org.apache.spark.sql.types._
   * joins are equi-joins on bucket keys — shuffle-partitionable, AQE-skew
   * splittable. Exact verification (Jaccard / Hamming / cosine) runs only
   * inside candidate buckets.
+  *
+  * Single-scan contract: each LSH variant computes its signature stage
+  * EXACTLY ONCE per run. The signature frame is persisted
+  * (MEMORY_AND_DISK — a few fixed-width columns per doc, orders of
+  * magnitude narrower than the corpus), the bucket-size aggregate and the
+  * bucket join both read the cache, candidate pairs are materialized
+  * eagerly, and the signature cache is unpersisted before the operator
+  * returns. The pre-fix plan re-evaluated the signature pipeline for every
+  * consumer — six full corpus scans per minhash run.
+  *
+  * No silent caps: buckets larger than `maxBucket` are dropped (mass
+  * duplication is [[exact]]'s job — see the per-operator notes); the
+  * `*BucketStats` diagnostics report exactly how many buckets/rows the cap
+  * dropped, so a run can prove the cap didn't eat real signal.
   */
 object Dedup {
 
@@ -19,13 +34,33 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  /** distinct word n-gram shingles */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** distinct word n-gram shingles from a MATERIALIZED token-array
+    * attribute. The lambda body references `toks` once per output shingle
+    * and higher-order functions evaluate interpreted (no codegen), so an
+    * inlined tokenizer expression would re-split the text per shingle —
+    * measured ~40x on the bench corpus. Production paths hoist the token
+    * array behind a Generate barrier first. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Convenience text->shingles form (tests / small frames): fine when the
+    * result is consumed once, pays the per-element tokenizer re-evaluation
+    * described on [[shinglesFromTokens]] otherwise. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Local-parallelism guard for the expensive narrow signature stages: a
+    * small parquet input (one file, one row group) arrives as a single
+    * scan split, serializing per-row signature work onto one core. When
+    * the scan has fewer splits than the session's parallelism, repartition
+    * first — at real scale (splits >= cores) this is a no-op, so the
+    * shuffle is only ever paid on inputs small enough not to care. */
+  private[operators] def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Exact dedup via hash-groupBy: one shuffle on the 256-bit content
@@ -66,29 +101,64 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
     minhashSignatureFromShingles(shingles(text, shingleN), k)
 
-  /** MinHash + LSH banding: signatures split into `bands` bands of
-    * `k/bands` rows; docs sharing any band hash become candidates; each
-    * candidate pair is verified with EXACT shingle Jaccard. Returns
-    * verified near-dup pairs (id_a < id_b, jaccard >= threshold).
-    *
-    * Plan shape at scale: one narrow pass computes signatures, one explode
-    * (x bands), one shuffle on (band, band_hash), a within-bucket
-    * self-join (buckets are tiny by construction), one dedup of pairs. */
-  def minhashLsh(df: DataFrame, textCol: String = "text",
-                 idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7, shingleN: Int = 3,
-                 maxBucket: Int = 200): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
+  /** All unordered in-bucket pairs from a collected (sorted) members
+    * array: for each element x at 0-based index i, pair it with every
+    * later element. `pairFn` builds the output struct — computing the
+    * verification metric INSIDE the lambda keeps the flattened
+    * intermediate array to scalar structs (never pairs of vectors). */
+  private[operators] def bucketPairs(members: Column,
+                          pairFn: (Column, Column) => Column): Column =
+    explode(flatten(transform(members, (x, i) =>
+      transform(slice(members, i + 2, size(members)), y => pairFn(x, y)))))
+
+  /** Bucket-bounding stage shared by the LSH variants. `rows` is the
+    * persisted signature frame; one count-only aggregate (map-side
+    * partials, immune to hot buckets) finds the buckets sized in
+    * [2, maxBucket]; joining it back (cache read, AQE-skew-splittable SMJ)
+    * and collecting members per kept bucket bounds every aggregation
+    * buffer at maxBucket elements. */
+  private[operators] def boundedBucketMembers(rows: DataFrame, keys: Seq[String],
+                                   member: Column, maxBucket: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val kept = rows.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+      .select(keyCols: _*)
+    rows.join(kept, keys)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(member)).as("members"))
+  }
+
+  /** Bucket-cap diagnostics row for a signature frame: total buckets,
+    * kept (2..maxBucket), dropped (> maxBucket), and member rows inside
+    * the dropped buckets. */
+  private[operators] def bucketStatsOf(rows: DataFrame, keys: Seq[String],
+                            maxBucket: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("n").between(2, maxBucket), 1L)), lit(0L))
+          .as("kept_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, 1L)), lit(0L))
+          .as("dropped_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0L))
+          .as("dropped_rows"))
+
+  /** The minhash band-row frame `(id, band, band_hash)` — bucket rows
+    * carry ONLY three fixed-width columns: the band explode is a x`bands`
+    * fan-out, so shuffling shingle arrays through it would multiply the
+    * shuffle volume by `bands`; texts re-join by id in verification. The
+    * shingle array is materialized behind a Generate barrier first (same
+    * plan-shape rule as Validator.validate: never hand an expensive
+    * expression to a higher-order lambda). */
+  private[operators] def minhashBandRows(df: DataFrame, textCol: String, idCol: String,
+                              k: Int, bands: Int, shingleN: Int): DataFrame = {
     val r = k / bands
-    // bucket rows carry ONLY (id, band, 8-byte hash): the band explode is
-    // a x`bands` fan-out, so shuffling the shingle arrays through it would
-    // multiply the shuffle volume by `bands` — texts re-join by id later.
-    // The shingle array is materialized behind a Generate barrier first
-    // (same plan-shape rule as Validator.validate: never hand an
-    // expensive expression to a higher-order lambda).
-    val sigs = df
-      .select(col(idCol).as("id"),
-        explode(array(shingles(col(textCol), shingleN))).as("sh"))
+    // two Generate barriers: tokens materialized once per row, then
+    // shingles built FROM THE TOKEN ATTRIBUTE (see shinglesFromTokens)
+    parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(array(tokens(col("text")))).as("toks"))
+      .select(col("id"),
+        explode(array(shinglesFromTokens(col("toks"), shingleN))).as("sh"))
       // native codegen'd signature (bit-identical to
       // minhashSignatureFromShingles, the HOF reference impl)
       .select(col("id"),
@@ -98,27 +168,54 @@ object Dedup {
         aggregate(slice(col("sig"), col("band") * r + 1, lit(r)),
           col("band").cast(LongType), (acc, h) => xxhash64(acc, h)))
       .select("id", "band", "band_hash")
-    // degenerate-bucket cap: a bucket of m docs yields m^2/2 candidate
-    // pairs, so a near-duplicate-saturated corpus turns the self-join
-    // quadratic. Buckets beyond `maxBucket` are dropped here — mass
-    // duplication is exact/prefix dedup's job ([[exact]]), LSH's job is
-    // the long tail. Standard practice in production MinHash-LSH.
-    val bucketSizes = sigs.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n").between(2, maxBucket))
-    val bucketed = sigs.join(bucketSizes, Seq("band", "band_hash"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become candidates; each
+    * candidate pair is verified with EXACT shingle Jaccard. Returns
+    * verified near-dup pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Plan shape at scale: ONE corpus scan computes+persists band rows, one
+    * count aggregate + bucket join (both cache reads), in-bucket pair
+    * explode (no self-join), then the verification kernel's ONE further
+    * corpus scan restricted to candidate docs. Candidate pairs are
+    * materialized eagerly so the signature cache can be released here.
+    *
+    * Degenerate-bucket cap: a bucket of m docs yields m^2/2 candidate
+    * pairs, so a near-duplicate-saturated corpus would turn pair
+    * generation quadratic. Buckets beyond `maxBucket` are dropped — mass
+    * duplication is exact/prefix dedup's job ([[exact]]), LSH's job is the
+    * long tail (standard practice in production MinHash-LSH). The drop is
+    * NOT silent: [[minhashBucketStats]] reports dropped buckets/rows. */
+  def minhashLsh(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7, shingleN: Int = 3,
+                 maxBucket: Int = 200): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val bandRows = minhashBandRows(df, textCol, idCol, k, bands, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = boundedBucketMembers(bandRows,
+        Seq("band", "band_hash"), col("id"), maxBucket)
+      .select(bucketPairs(col("members"),
+        (x, y) => struct(x.as("id_a"), y.as("id_b"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
-    ngramJaccard(df, candidates, textCol, idCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidates.count() // materialize so the band-row cache can be freed
+    bandRows.unpersist()
+    verifiedJaccard(df, candidates, textCol, idCol, shingleN)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** [[minhashLsh]]'s bucket-cap diagnostics (one row): how many buckets
+    * the `maxBucket` cap dropped and how many band rows they held. */
+  def minhashBucketStats(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 64,
+                         bands: Int = 16, shingleN: Int = 3,
+                         maxBucket: Int = 200): DataFrame =
+    bucketStatsOf(minhashBandRows(df, textCol, idCol, k, bands, shingleN),
+      Seq("band", "band_hash"), maxBucket)
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum of +1/-1 across
     * token hashes, sign gives the bit. Pure higher-order expressions —
@@ -138,43 +235,89 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
-    * chunks of their simhash match (guarantees recall for Hamming
-    * distance <= 3 by pigeonhole); verified with exact Hamming. */
-  def simhashDedup(df: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id",
-                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    // native codegen'd expression (bit-identical to simhash64, which is
-    // the interpreted higher-order-function reference implementation)
-    val sigs0 = df.select(col(idCol).as("id"),
-        graft.expressions.SimHash64.simhash64(col(textCol)).as("sig"))
+  /** The simhash chunk-row frame `(id, sig, chunk, chunk_val)` — the
+    * native codegen'd SimHash64 expression (bit-identical to [[simhash64]],
+    * the interpreted higher-order-function reference implementation). */
+  private[operators] def simhashChunkRows(df: DataFrame, textCol: String,
+                               idCol: String): DataFrame =
+    parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_val",
         call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)
           .bitwiseAND(lit(0xFFFFL)))
-    // degenerate-bucket cap — see [[minhashLsh]]
-    val bucketSizes = sigs0.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n").between(2, maxBucket))
-    val sigs = sigs0.join(bucketSizes, Seq("chunk", "chunk_val"))
-    val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+
+  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
+    * chunks of their simhash match (guarantees recall for Hamming
+    * distance <= 3 by pigeonhole); verified with exact Hamming.
+    * Same single-scan shape as [[minhashLsh]]: persist chunk rows, bound
+    * buckets, explode in-bucket pairs with the Hamming distance computed
+    * inside the pair lambda. Cap diagnostics: [[simhashBucketStats]]. */
+  def simhashDedup(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val chunkRows = simhashChunkRows(df, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
+        struct(col("id"), col("sig")), maxBucket)
+      .select(bucketPairs(col("members"), (x, y) => struct(
+        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        hamming(x.getField("sig"), y.getField("sig")).as("hamming"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize so the chunk-row cache can be freed
+    chunkRows.unpersist()
+    pairs
   }
+
+  /** [[simhashDedup]]'s bucket-cap diagnostics (one row). */
+  def simhashBucketStats(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         maxBucket: Int = 200): DataFrame =
+    bucketStatsOf(simhashChunkRows(df, textCol, idCol),
+      Seq("chunk", "chunk_val"), maxBucket)
 
   /** Exact pairwise n-gram Jaccard for a (small) candidate pair table:
     * `pairs(id_a, id_b)` joined back to texts. The scale path generates
-    * `pairs` with [[minhashLsh]]; this is the verification kernel alone. */
+    * `pairs` with [[minhashLsh]]; this is the verification kernel alone.
+    * NOTE: both joins re-evaluate the shingle frame (two corpus scans) —
+    * fine for an externally-supplied small pair table; the LSH operators
+    * use [[verifiedJaccard]], which shingles only candidate docs and
+    * persists that small frame (one corpus scan total). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(array(tokens(col(textCol)))).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+    joinJaccard(sh, pairs)
+  }
+
+  /** Verification kernel for LSH candidates (`pairs` must be persisted —
+    * it is referenced three times): shingle ONLY the docs that appear in
+    * some candidate pair (broadcast-able semi-join), persist that small
+    * frame, and join it to both pair sides — one corpus scan regardless of
+    * pair count. */
+  private[operators] def verifiedJaccard(docs: DataFrame, pairs: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int): DataFrame = {
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    // semi-join FIRST (on the raw columns, so it can ride the scan), then
+    // tokenize/shingle only the surviving candidate docs
+    val sh = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), explode(array(tokens(col("text")))).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    joinJaccard(sh, pairs)
+  }
+
+  private[operators] def joinJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
       .join(sh.withColumnRenamed("id", "id_a")
               .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -183,16 +326,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-  }
 
-  /** Embedding-cosine near-dup: random-hyperplane LSH (sign sketch of
-    * `planes` pseudo-random hyperplanes, derived deterministically from
-    * xxhash64 — no RNG state to ship) buckets vectors; exact cosine runs
-    * within buckets only. */
-  def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
-                       idCol: String = "vec_id", planes: Int = 16,
-                       threshold: Double = 0.99,
-                       maxBucket: Int = 1000): DataFrame = {
+  /** The embedding sign-sketch frame `(id, vec, norm, bucket)`: random-
+    * hyperplane LSH (sign sketch of `planes` pseudo-random hyperplanes,
+    * derived deterministically from xxhash64 — no RNG state to ship). */
+  private[operators] def embeddingSigRows(df: DataFrame, vecCol: String,
+                               idCol: String, planes: Int): DataFrame = {
     val v = col("vec")
     val sketch = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => {
@@ -203,23 +342,45 @@ object Dedup {
         acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), p))
           .otherwise(lit(0L)))
       })
-    val sigs0 = df.select(col(idCol).as("id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+    parallelize(df.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("vec")))
       .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
         (s, x) => s + x * x)))
       .withColumn("bucket", sketch)
-    // degenerate-bucket cap — see [[minhashLsh]]
-    val bucketSizes = sigs0.groupBy("bucket")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n").between(2, maxBucket))
-    val sigs = sigs0.join(bucketSizes, Seq("bucket"))
-    val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
-          lit(0.0d), (s, x) => s + x) / (col("a.norm") * col("b.norm")))
-      .where(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Embedding-cosine near-dup: the sign sketch buckets vectors; exact
+    * cosine runs within buckets only, computed INSIDE the pair lambda so
+    * the exploded intermediate holds scalar triples, never vector pairs.
+    * Same single-scan persist/unpersist shape as [[minhashLsh]]. Member
+    * buffers hold up to `maxBucket` vectors — at production dims (~768)
+    * size maxBucket accordingly (more planes => smaller buckets).
+    * Cap diagnostics: [[embeddingBucketStats]]. */
+  def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id", planes: Int = 16,
+                       threshold: Double = 0.99,
+                       maxBucket: Int = 1000): DataFrame = {
+    val sigRows = embeddingSigRows(df, vecCol, idCol, planes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = boundedBucketMembers(sigRows, Seq("bucket"),
+        struct(col("id"), col("norm"), col("vec")), maxBucket)
+      .select(bucketPairs(col("members"), (x, y) => struct(
+        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        (aggregate(zip_with(x.getField("vec"), y.getField("vec"),
+            (a, b) => a * b), lit(0.0d), (s, z) => s + z) /
+          (x.getField("norm") * y.getField("norm"))).as("cosine"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
+      .where(col("cosine") >= threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize so the sig cache can be freed
+    sigRows.unpersist()
+    pairs
+  }
+
+  /** [[embeddingNearDup]]'s bucket-cap diagnostics (one row). */
+  def embeddingBucketStats(df: DataFrame, vecCol: String = "embedding",
+                           idCol: String = "vec_id", planes: Int = 16,
+                           maxBucket: Int = 1000): DataFrame =
+    bucketStatsOf(embeddingSigRows(df, vecCol, idCol, planes),
+      Seq("bucket"), maxBucket)
 }

@@ -41,6 +41,27 @@ class OperatorsSpec extends SparkSpec {
     assert(exact > 0.5 && exact < 1.0) // one word differs
   }
 
+  test("bucket-cap diagnostics: dropped buckets are counted, not silent") {
+    // maxBucket=2 forces the 3-doc near-dup cluster {1,2,4} to be dropped
+    // wherever all three share a band bucket; with a huge cap nothing is
+    val strict = Dedup.minhashBucketStats(docs, maxBucket = 2).collect().head
+    val loose = Dedup.minhashBucketStats(docs, maxBucket = 1000)
+      .collect().head
+    def f(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    assert(f(loose, "dropped_buckets") == 0 && f(loose, "dropped_rows") == 0)
+    assert(f(loose, "kept_buckets") > 0)
+    assert(f(strict, "dropped_buckets") > 0)
+    // every dropped bucket had > maxBucket members
+    assert(f(strict, "dropped_rows") > 2 * f(strict, "dropped_buckets"))
+    // the cap is enforced in the operator: pairs from oversized buckets
+    // only appear if another (small) bucket also produced them
+    val capped = Dedup.minhashLsh(docs, threshold = 0.0, maxBucket = 2)
+    assert(capped.count() <= Dedup.minhashLsh(docs, threshold = 0.0).count())
+    // simhash + embedding variants expose the same diagnostics shape
+    assert(Dedup.simhashBucketStats(docs).columns.toSeq ==
+      Seq("n_buckets", "kept_buckets", "dropped_buckets", "dropped_rows"))
+  }
+
   test("simhash: identical text -> hamming 0, near text -> small hamming") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simhash64(col("text")).as("sig")).collect()
