@@ -239,6 +239,29 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, k = 10)
         .select("query_id", "id", "rank").orderBy("query_id", "rank")
     }),
+    // exact-Jaccard twin of q_minhash_pairs' verification kernel, on a
+    // deterministic pair set (adjacent doc ids) so DuckDB can mirror it
+    "q_jaccard_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(docs, pairs).orderBy("id_a")
+    }),
+    // exact-cosine twin of q_embedding_neardup's verification formula
+    // (dot / (norm_a * norm_b)), rounded to 6 dp on both sides to absorb
+    // sub-ulp accumulation-order noise between engines
+    "q_cosine_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val a = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          bround(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
+        .orderBy("id_a")
+    }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))
         .groupBy("lang")
@@ -394,6 +417,85 @@ object SparkEntry {
         |  WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
         |  WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS lang_pred,
         | count(*) AS n FROM hits GROUP BY 1, 2""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |   CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        | scored AS (SELECT q.query_id, e.vec_id AS id,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec)
+        |     AS cos FROM embeddings e CROSS JOIN q),
+        | ranked AS (SELECT query_id, id, CAST(row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos DESC, id) AS INTEGER) AS rank
+        |  FROM scored)
+        | SELECT query_id, id, rank FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_jaccard_exact" ->
+      """WITH tk AS (SELECT doc_id,
+        |   list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '') AS t FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+        |   THEN [array_to_string(t, ' ')]
+        |   ELSE list_distinct(list_transform(range(0, len(t) - 2),
+        |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) END AS s
+        |  FROM tk),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 50)
+        | SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+        |   len(list_distinct(list_concat(sa, sb))) AS jaccard FROM p""".stripMargin,
+    "q_cosine_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   a.v AS va, b.v AS vb
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id < 50)
+        | SELECT id_a, id_b, round(
+        |   list_sum(list_transform(range(1, len(va) + 1), i -> va[i]*vb[i]))
+        |   / (sqrt(list_sum(list_transform(va, x -> x*x))) *
+        |      sqrt(list_sum(list_transform(vb, x -> x*x)))), 6) AS cosine
+        | FROM p""".stripMargin,
+    "q_text_quality" ->
+      """WITH base AS (SELECT lang, text,
+        |   list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '') AS tk,
+        |   CAST(length(text) AS DOUBLE) AS nchars,
+        |   CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        |     AS DOUBLE) AS punct
+        |  FROM documents),
+        | sig AS (SELECT lang, text, nchars, punct,
+        |   CAST(len(tk) AS DOUBLE) AS ntoks,
+        |   CAST(len(list_filter(tk, t -> list_contains(['the','and','of',
+        |     'to','in','is','that','for','with','a','on','as','at','this',
+        |     'are'], t))) AS DOUBLE) AS stophits,
+        |   CASE WHEN len(tk) > 0
+        |     THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+        |     ELSE 0.0 END AS distinct_ratio,
+        |   CASE WHEN len(tk) > 0
+        |     THEN list_sum(list_transform(tk,
+        |       t -> CAST(length(t) AS DOUBLE))) / len(tk)
+        |     ELSE 0.0 END AS mwl
+        |  FROM base),
+        | scored AS (SELECT lang,
+        |   ((CASE WHEN nchars BETWEEN 200 AND 50000 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN nchars > 0 AND punct/nchars <= 0.2
+        |     THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN ntoks > 0 AND stophits/ntoks >= 0.05
+        |     THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN distinct_ratio >= 0.3 THEN 1.0 ELSE 0.0 END)) / 5.0
+        |     AS quality_score,
+        |   CAST(ntoks AS BIGINT) AS ntoks_i,
+        |   len(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+        |     AS bpe
+        |  FROM sig)
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high_quality,
+        |  CAST(sum(ntoks_i) AS BIGINT) AS tokens_ws,
+        |  CAST(sum(bpe) AS BIGINT) AS tokens_bpe
+        | FROM scored GROUP BY lang""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
