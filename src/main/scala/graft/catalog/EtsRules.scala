@@ -202,23 +202,10 @@ object EtsRules {
     EtsRule("links", "links", msg.isNotNull, msg)
   }
 
-  /** Gating schema-validation test (`ets.py:116-148`). Full JSON-Schema
-    * Draft 2020-12 is out of scope (SURVEY.md §7.4-2); this structural
-    * subset reproduces the observable fixture behavior: `conformsTo` must
-    * contain the WCMP2 core conformance class and the core scaffolding must
-    * be present. */
-  def validation(r: RecordCols): EtsRule = {
-    val conformsOk = coalesce(
-      array_contains(r.rec.getField("conformsTo"),
-                     "http://wis.wmo.int/spec/wcmp/2/conf/core"),
-      lit(false))
-    val structuralOk = r.rec.getField("id").isNotNull &&
-      r.rec.getField("type") === "Feature" &&
-      prop(r, "title").isNotNull && size(r.rec.getField("links")) >= 1
-    val fail = !(conformsOk && structuralOk)
-    EtsRule("validation", "validation", fail,
-      lit("record does not conform to WCMP2 core (structural subset)"))
-  }
+  // The gating schema-validation test lives in [[SchemaGate]]: the
+  // WCMP2 schema's required/type/enum/minItems constraints compiled over
+  // the record's VARIANT value, with the reference's '{n} error(s)'
+  // message + errors array (`ets.py:116-148`).
 
   /** The 12 counted tests in the reference's alphabetical execution order
     * (`ets.py:87-93`). */

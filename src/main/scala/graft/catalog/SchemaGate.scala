@@ -1,0 +1,144 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The gating schema-validation test (`/root/reference/pywcmp/wcmp2/
+  * ets.py:116-148`): the reference validates each record against the
+  * bundled WCMP2 Draft 2020-12 JSON Schema with
+  * `Draft202012Validator.iter_errors`, reporting EVERY error as
+  * `f'{error.json_path}: {error.message}'`, a summary message
+  * `f'{len(errors)} error(s)'` and the errors array (`ets.py:139-146`).
+  *
+  * Here the schema's required / type / enum / minItems constraints are
+  * compiled into Catalyst predicates that RE-USE the parse artifacts the
+  * engine already materializes per row — this keeps the gate's marginal
+  * cost to a few percent of engine throughput (naive per-check
+  * `variant_get` formulations measured 40-45%):
+  *
+  *  - presence: `json_object_keys` of the root (one extra tokenize scan)
+  *    and of `$.properties` (already materialized as `props_keys`) —
+  *    the missing-vs-null channel `from_json` cannot provide;
+  *  - container types + minItems: null-ness and `size` of the already-
+  *    parsed `rec` struct fields (`from_json` PERMISSIVE nulls a field on
+  *    type mismatch, and JSON-Schema emits the same "is not of type"
+  *    error for explicit null, so the two collapsing is CORRECT here);
+  *  - nullable objects (`time`, `geometry`): first char of the raw
+  *    `json_tuple` extract distinguishes explicit null (SQL NULL) from a
+  *    mistyped scalar/array (json_tuple erases only string quoting, so
+  *    '{' reliably marks an object);
+  *  - string-typed members (id, title, description, type, created): the
+  *    only checks that need true JSON types (Hive-style JSON functions
+  *    and lenient `from_json` both erase string-vs-number), probed with
+  *    one `schema_of_variant(try_variant_get(...))` each over the
+  *    record's variant — scalars only, so no subtree serialization.
+  *
+  * Coverage: the root-level and properties-level constraints of the WCMP2
+  * record schema (which profiles OGC API - Records `recordGeoJSON`):
+  * required members, their JSON types, the `Feature` type const, the
+  * conformsTo core-class containment, and the minItems floors on links /
+  * contacts / themes. Deeper per-item subschemas (contact shape, theme
+  * concepts, link href) are enforced by the corresponding ETS tests
+  * (themes/contacts/links), mirroring where the reference actually
+  * diagnoses them. Error strings follow the json_path prefix convention;
+  * the message text is a close paraphrase of jsonschema's (the exact
+  * Python repr of offending values is not reproduced). A non-object root
+  * (valid JSON scalar/array) reports the member-level required errors
+  * rather than jsonschema's single root type error.
+  */
+object SchemaGate {
+
+  private val Core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+
+  /** All schema errors for one record as `array<string>`, in document
+    * order of the compiled constraints.
+    *
+    * @param v        record variant (`try_parse_json`, barrier attribute)
+    * @param rec      `from_json(content, Wcmp2Schema.root)` attribute
+    * @param rootKeys `json_object_keys(content)` attribute
+    * @param propsKeys `json_object_keys($.properties raw)` attribute
+    * @param timeRaw  raw `$.time` json_tuple extract attribute
+    * @param geomRaw  raw `$.geometry` json_tuple extract attribute
+    */
+  def errors(v: Column, rec: Column, rootKeys: Column, propsKeys: Column,
+             timeRaw: Column, geomRaw: Column): Column = {
+    def hasRoot(m: String): Column =
+      coalesce(array_contains(rootKeys, m), lit(false))
+    def hasProp(m: String): Column =
+      coalesce(array_contains(propsKeys, m), lit(false))
+    val propsOk = propsKeys.isNotNull
+    def vstr(path: String): Column =
+      schema_of_variant(try_variant_get(v, path, "variant")) === "STRING"
+    val props = rec.getField("properties")
+
+    def reqRoot(m: String): (Column, Column) =
+      (!hasRoot(m), lit(s"$$: '$m' is a required property"))
+    def reqProp(m: String): (Column, Column) =
+      (propsOk && !hasProp(m),
+        lit(s"$$.properties: '$m' is a required property"))
+    def strRoot(m: String): (Column, Column) =
+      (hasRoot(m) && !vstr(s"$$.$m"),
+        lit(s"$$.$m: is not of type 'string'"))
+    def strProp(m: String): (Column, Column) =
+      (propsOk && hasProp(m) && !vstr(s"$$.properties.$m"),
+        lit(s"$$.properties.$m: is not of type 'string'"))
+    def nullableObj(m: String, raw: Column): (Column, Column) =
+      (hasRoot(m) && raw.isNotNull && !raw.startsWith("{"),
+        lit(s"$$.$m: is not of type 'object', 'null'"))
+    def arrProp(m: String): Seq[(Column, Column)] = Seq(
+      (propsOk && hasProp(m) && props.getField(m).isNull,
+        lit(s"$$.properties.$m: is not of type 'array'")),
+      (propsOk && hasProp(m) && size(props.getField(m)) < 1,
+        lit(s"$$.properties.$m: [] is too short")))
+
+    val checks: Seq[(Column, Column)] = Seq(
+      reqRoot("id"), strRoot("id"),
+      reqRoot("conformsTo"),
+      (hasRoot("conformsTo") && rec.getField("conformsTo").isNull,
+        lit("$.conformsTo: is not of type 'array'")),
+      (hasRoot("conformsTo") && rec.getField("conformsTo").isNotNull &&
+         !coalesce(array_contains(rec.getField("conformsTo"), Core),
+           lit(false)),
+        lit(s"$$.conformsTo: does not contain '$Core'")),
+      reqRoot("type"),
+      (hasRoot("type") && !(rec.getField("type") <=> "Feature"),
+        lit("$.type: 'Feature' was expected")),
+      reqRoot("time"), nullableObj("time", timeRaw),
+      reqRoot("geometry"), nullableObj("geometry", geomRaw),
+      reqRoot("properties"),
+      (hasRoot("properties") && !propsOk,
+        lit("$.properties: is not of type 'object'")),
+      reqRoot("links"),
+      (hasRoot("links") && rec.getField("links").isNull,
+        lit("$.links: is not of type 'array'")),
+      (hasRoot("links") && size(rec.getField("links")) < 1,
+        lit("$.links: [] is too short")),
+      reqProp("title"), strProp("title"),
+      reqProp("description"), strProp("description"),
+      reqProp("type"), strProp("type"),
+      reqProp("created"), strProp("created"),
+      reqProp("contacts")) ++ arrProp("contacts") ++
+      Seq(reqProp("themes")) ++ arrProp("themes")
+
+    array_compact(array(checks.map { case (cond, err) =>
+      when(coalesce(cond, lit(false)), err)
+    }: _*))
+  }
+
+  /** The validation test-result struct `(id, code, message, errors)` —
+    * PASSED carries no message/errors, FAILED carries `'{n} error(s)'`
+    * plus the errors array, exactly the reference's result dict shape
+    * (`ets.py:122-146`). `errs` MUST be a materialized [[errors]]
+    * attribute (kernel barrier): the struct references it four times, and
+    * CollapseProject would re-inline a raw expression into each. */
+  def result(errs: Column): Column = {
+    val failed = size(errs) > 0
+    struct(
+      lit("http://wis.wmo.int/spec/wcmp/2/conf/core/validation").as("id"),
+      when(failed, "FAILED").otherwise("PASSED").as("code"),
+      when(failed, concat(size(errs).cast(StringType), lit(" error(s)")))
+        .as("message"),
+      when(failed, errs).as("errors"))
+  }
+}

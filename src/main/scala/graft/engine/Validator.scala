@@ -46,7 +46,12 @@ object Validator {
       col("_geom").as("geometry"),
       GeoFunctions.positions(col("_geom")).as("geo_positions"),
       json_object_keys(col("_props")).as("props_keys"),
-      try_parse_json(col("content")).isNotNull.as("parse_ok"))
+      // root-level presence channel for the schema gate (missing != null)
+      json_object_keys(col("content")).as("root_keys"),
+      // the VARIANT value: parse_ok probe (null on malformed input —
+      // json.loads semantics) AND the typed-JSON channel for the gate's
+      // string-type checks
+      try_parse_json(col("content")).as("var"))
     // second barrier: per-row kernels that multiple rule expressions
     // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
     // words/stripped x4/x4, K4 previews x3) — materialized ONCE each.
@@ -63,13 +68,19 @@ object Validator {
         regexp_replace(titleCol, acronymRe, "")).as("title_stripped"),
       KpiRules.httpLinkPool(rc0).as("http_links"),
       filter(col("_p.rec.links"),
-        l => l.getField("rel") === "preview").as("previews"))
+        l => l.getField("rel") === "preview").as("previews"),
+      // schema-gate errors array, materialized ONCE (the validation
+      // result struct references it four times — see SchemaGate)
+      graft.catalog.SchemaGate.errors(col("_p.var"), col("_p.rec"),
+        col("_p.root_keys"), col("_p.props_keys"), col("_time"),
+        col("_geom")).as("gate_errors"))
 
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
       .select(col("*"),
-        json_tuple(col("content"), "geometry", "properties"))
+        json_tuple(col("content"), "geometry", "properties", "time"))
       .withColumnRenamed("c0", "_geom").withColumnRenamed("c1", "_props")
+      .withColumnRenamed("c2", "_time")
       .select(col("*"), explode(array(parsedStruct)).as("_p"))
       .select(col("*"), explode(array(kernels)).as("_k"))
 
@@ -85,13 +96,13 @@ object Validator {
     // `json.loads` failure => RuntimeError in the reference
     // (`/root/reference/pywcmp/util.py:203-219`); here: a parse_error row.
     // `from_json` PERMISSIVE yields an all-null struct (not null) on
-    // malformed input, so validity was probed on the raw text in the
+    // malformed input, so validity was probed via try_parse_json in the
     // barrier; referenced here as an attribute (it guards 3 columns).
-    val parseOk = col("_p.parse_ok")
+    val parseOk = col("_p.var").isNotNull
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
-    val validation = EtsRules.validation(rc).result
+    val validation = graft.catalog.SchemaGate.result(col("_k.gate_errors"))
 
     val kpis = KpiRules.catalog(rc, probe)
     val kpiTests = array(kpis.map(_.result): _*)
@@ -106,7 +117,7 @@ object Validator {
       .withColumn("ets_tests", when(parseOk, etsTests))
       .withColumn("validation", when(parseOk, validation))
       .withColumn("kpi_tests", when(parseOk, kpiTests))
-      .drop("_p", "_k", "_geom", "_props")
+      .drop("_p", "_k", "_geom", "_props", "_time")
 
     def countCode(codeVal: String): Column =
       size(filter(col("ets_tests"), t => t.getField("code") === codeVal))
@@ -160,7 +171,8 @@ object Validator {
       .where(col("parse_ok") && col("validation.code") === "FAILED")
       .select(keys :+ col("validation.id").as("rule_id") :+
         lit("ERROR").as("severity") :+
-        col("validation.message").as("diagnostic"): _*)
+        concat(col("validation.message"), lit(": "),
+          concat_ws("; ", col("validation.errors"))).as("diagnostic"): _*)
 
     val etsViolations = validated.where(col("parse_ok"))
       .select(keys :+ explode(col("ets_tests")).as("t"): _*)

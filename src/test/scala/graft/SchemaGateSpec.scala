@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine.Validator
+
+/** Negative goldens for the deepened schema gate: NON-fixture invalid
+  * records (missing members, wrong JSON types, bad enum, short arrays)
+  * must FAIL with per-error diagnostics, while structurally-valid records
+  * pass. Fixture behavior is pinned separately in EtsSpec ("failing
+  * record fails the schema gate"). Mirrors
+  * `/root/reference/pywcmp/wcmp2/ets.py:116-148` (iter_errors over the
+  * bundled schema; message `'{n} error(s)'` + errors list).
+  */
+class SchemaGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val valid =
+    """{"id":"urn:wmo:md:de-dwd:x","conformsTo":
+      |["http://wis.wmo.int/spec/wcmp/2/conf/core"],"type":"Feature",
+      |"time":{"interval":["2024-01-01","2024-12-31"]},"geometry":null,
+      |"properties":{"title":"t","description":"d","type":"dataset",
+      |"created":"2024-01-01T00:00:00Z","contacts":[{"name":"c"}],
+      |"themes":[{"concepts":[{"id":"weather"}]}]},
+      |"links":[{"rel":"items","href":"http://example.org/x"}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def mutate(remove: String = null,
+                     replace: (String, String) = null): String = {
+    var s = valid
+    if (remove != null) {
+      // drop `"key":<value>,` — keys in the template are unique
+      val i = s.indexOf("\"" + remove + "\":")
+      require(i >= 0)
+      var depth = 0; var j = i + remove.length + 3
+      var done = false
+      while (!done) {
+        s.charAt(j) match {
+          case '{' | '[' => depth += 1
+          case '}' | ']' => if (depth == 0) done = true else depth -= 1
+          case ',' if depth == 0 => done = true
+          case _ =>
+        }
+        if (!done) j += 1
+      }
+      s = s.substring(0, i) + s.substring(if (s.charAt(j) == ',') j + 1 else j)
+    }
+    if (replace != null) s = s.replace(replace._1, replace._2)
+    s
+  }
+
+  private def gate(json: String): Row = {
+    val df = Seq(("r", "p", "c", "en", json))
+      .toDF("repo", "path", "commit", "lang", "content")
+    Validator.validate(df).select("validation.*").collect().head
+  }
+  private def errs(json: String): Seq[String] = {
+    val r = gate(json)
+    if (r.isNullAt(r.fieldIndex("errors"))) Seq.empty
+    else r.getSeq[String](r.fieldIndex("errors"))
+  }
+
+  test("structurally valid record passes the gate with no errors") {
+    val r = gate(valid)
+    assert(r.getString(r.fieldIndex("code")) == "PASSED")
+    assert(r.isNullAt(r.fieldIndex("message")))
+    assert(errs(valid).isEmpty)
+  }
+
+  test("missing contacts -> required-property error") {
+    assert(errs(mutate(remove = "contacts")) ==
+      Seq("$.properties: 'contacts' is a required property"))
+  }
+
+  test("empty contacts / themes / links -> too short") {
+    assert(errs(mutate(replace = "\"contacts\":[{\"name\":\"c\"}]" ->
+      "\"contacts\":[]")) == Seq("$.properties.contacts: [] is too short"))
+    assert(errs(mutate(replace =
+      "\"themes\":[{\"concepts\":[{\"id\":\"weather\"}]}]" ->
+      "\"themes\":[]")) == Seq("$.properties.themes: [] is too short"))
+    assert(errs(mutate(replace =
+      "\"links\":[{\"rel\":\"items\",\"href\":\"http://example.org/x\"}]" ->
+      "\"links\":[]")) == Seq("$.links: [] is too short"))
+  }
+
+  test("wrong-typed time (string) -> type error; null time passes") {
+    assert(errs(mutate(replace =
+      "\"time\":{\"interval\":[\"2024-01-01\",\"2024-12-31\"]}" ->
+      "\"time\":\"2024\"")) ==
+      Seq("$.time: is not of type 'object', 'null'"))
+    assert(errs(mutate(replace =
+      "\"time\":{\"interval\":[\"2024-01-01\",\"2024-12-31\"]}" ->
+      "\"time\":null")).isEmpty)
+  }
+
+  test("bad type enum and non-string id") {
+    assert(errs(mutate(replace = "\"type\":\"Feature\"" ->
+      "\"type\":\"feature\"")) == Seq("$.type: 'Feature' was expected"))
+    assert(errs(mutate(replace = "\"id\":\"urn:wmo:md:de-dwd:x\"" ->
+      "\"id\":123")) == Seq("$.id: is not of type 'string'"))
+  }
+
+  test("missing conformsTo core class; wrong-typed created") {
+    assert(errs(mutate(replace =
+      "\"conformsTo\":[\"http://wis.wmo.int/spec/wcmp/2/conf/core\"]" ->
+      "\"conformsTo\":[\"http://example.org/other\"]")) ==
+      Seq("$.conformsTo: does not contain " +
+        "'http://wis.wmo.int/spec/wcmp/2/conf/core'"))
+    assert(errs(mutate(replace =
+      "\"created\":\"2024-01-01T00:00:00Z\"" -> "\"created\":20240101")) ==
+      Seq("$.properties.created: is not of type 'string'"))
+  }
+
+  test("mistyped properties parent: one error, no descent into children") {
+    assert(errs(mutate(replace = "\"properties\":{" -> "\"properties\":[{"
+      ).replace("]},\"links\"", "]}],\"links\"")) ==
+      Seq("$.properties: is not of type 'object'"))
+  }
+
+  test("multiple errors -> '{n} error(s)' message, all errors listed") {
+    val bad = mutate(remove = "contacts", replace =
+      "\"type\":\"Feature\"" -> "\"type\":\"feature\"")
+    val r = gate(bad)
+    assert(r.getString(r.fieldIndex("code")) == "FAILED")
+    assert(r.getString(r.fieldIndex("message")) == "2 error(s)")
+    assert(errs(bad).toSet == Set(
+      "$.type: 'Feature' was expected",
+      "$.properties: 'contacts' is a required property"))
+  }
+}
