@@ -173,8 +173,9 @@ object EtsRules {
   }
 
   /** links (`ets.py:440-489`) — ordered first-failure per link, links in
-    * document order. Channel topic validity = membership in the vendored
-    * valid-topic set (Catalyst compiles the set to an O(1) `InSet`). */
+    * document order. Channel topic validity = level-wise walk of the
+    * vendored hierarchy tables ([[Dims.validTopicChannel]]), the analog
+    * of pywis_topics' `th.validate`. */
   def links(r: RecordCols): EtsRule = {
     val links = r.rec.getField("links")
     val perLink = transform(links, l => {
@@ -192,7 +193,7 @@ object EtsRules {
         .when(href.startsWith("mqtt") &&
                 (channel.startsWith("origin/a/wis2") ||
                  channel.startsWith("cache/a/wis2")) &&
-                !channel.isInCollection(Dims.validTopics),
+                !Dims.validTopicChannel(channel),
               "Invalid WIS2 topic for Pub/Sub link channel")
         .when(badSecurityKey.isNotNull,
               concat(lit("missing security description for "), badSecurityKey))

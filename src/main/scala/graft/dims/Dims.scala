@@ -21,12 +21,28 @@ import scala.io.Source
   */
 object Dims {
 
+  /** Override directory for the vendored dims: start the JVM with
+    * `-Dgraft.dims.dir=/path/to/tables` and any codelist file found
+    * there (same filenames as `src/main/resources/codelists/`) replaces
+    * the classpath copy. This is the deployment hook for the REAL
+    * pywis-topics / pyspellchecker bundles: the vendored snapshots here
+    * (51 centres, 6.9k-word lexicon, IANA link relations) are faithful
+    * but partial, and a production WIS2 deployment should drop in the
+    * full published tables without a rebuild. */
+  val DimsDirProperty = "graft.dims.dir"
+
   private def loadList(resource: String): Seq[String] = {
-    val in = getClass.getResourceAsStream(resource)
-    require(in != null, s"missing resource $resource")
-    try Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toVector
-    finally in.close()
+    val overridden = sys.props.get(DimsDirProperty).flatMap { dir =>
+      val f = new java.io.File(dir, resource.stripPrefix("/codelists/"))
+      if (f.isFile) Some(Source.fromFile(f, "UTF-8")) else None
+    }
+    val src = overridden.getOrElse {
+      val in = getClass.getResourceAsStream(resource)
+      require(in != null, s"missing resource $resource")
+      Source.fromInputStream(in, "UTF-8")
+    }
+    try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+    finally src.close()
   }
 
   /** CSV codelists: column 0 of every row, mirroring `get_codelist`
@@ -51,27 +67,45 @@ object Dims {
   val earthSystemDisciplines: Seq[String] =
     loadCodelist("earth-system-discipline.csv")
 
-  /** Full valid WIS2 topics for channel validation (`th.validate`,
-    * `ets.py:476`). Deterministically generated cross-product over the
-    * vendored hierarchy levels; includes both fixture-valid channels
-    * (`.../weather/experimental/surface-based-observations/synop` and
-    * `.../weather/surface-based-observations/synop`) and excludes
-    * `.../landFixed` (fixture-invalid). */
-  val validTopics: Seq[String] = {
-    val roots = Seq("origin/a/wis2", "cache/a/wis2")
-    val mids = for {
-      policy     <- dataPolicies
-      discipline <- earthSystemDisciplines
-      exp        <- Seq("", "experimental/")
-      leaf       <- Seq("surface-based-observations/synop",
-                        "surface-based-observations/temp",
-                        "space-based-observations/synop")
-    } yield s"data/$policy/$discipline/$exp$leaf"
-    for {
-      root   <- roots
-      centre <- centreIds
-      mid    <- mids
-    } yield s"$root/$centre/$mid"
+  /** Level-wise WIS2 topic-channel validation, the analog of
+    * `th.validate(channel)` (`ets.py:476`, pywis_topics): each hierarchy
+    * level is checked against that level's table, like pywis-topics
+    * walking its per-level CSVs — NOT a materialized cross-product (the
+    * real hierarchy has ~1e5 leaves; a level-wise check is O(depth) per
+    * row and needs only the small per-level dims).
+    *
+    *  - levels 1-3: literal `origin|cache / a / wis2`
+    *  - level 4: centre-id dim (`-test` centres allowed, as in the
+    *    identifier test, `ets.py:186`)
+    *  - level 5: notification type (`data|metadata|reports`)
+    *  - for `data`: level 6 data-policy dim, level 7 earth-system-
+    *    discipline dim, levels 8+ lowercase-kebab tokens (the published
+    *    sub-discipline trees are domain-managed and too large to vendor;
+    *    the charset rule matches their token grammar and correctly
+    *    rejects the fixture-invalid `landFixed`). Override the dims via
+    *    [[DimsDirProperty]] to pin exact sub-discipline tables.
+    */
+  def validTopicChannel(channel: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val t = split(channel, "/")
+    val lvl = size(t)
+    val kebab = "^[a-z0-9][a-z0-9-]*$"
+    val rootOk = get(t, lit(0)).isInCollection(Seq("origin", "cache")) &&
+      get(t, lit(1)) === "a" && get(t, lit(2)) === "wis2"
+    val centre = get(t, lit(3))
+    val centreOk =
+      centre.isInCollection(centreIds) || centre.endsWith("-test")
+    val subOk = forall(slice(t, lit(8), greatest(lvl - 7, lit(0))),
+      tok => tok.rlike(kebab))
+    val typeOk = when(get(t, lit(4)) === "data",
+        lvl >= 7 &&
+        get(t, lit(5)).isInCollection(dataPolicies) &&
+        get(t, lit(6)).isInCollection(earthSystemDisciplines) && subOk)
+      .when(get(t, lit(4)).isInCollection(Seq("metadata", "reports")),
+        lvl >= 5 && forall(slice(t, lit(6), greatest(lvl - 5, lit(0))),
+          tok => tok.rlike(kebab)))
+      .otherwise(lit(false))
+    rootOk && centreOk && typeOk
   }
 
   /** Pinned snapshot of `mimetypes.types_map` ∪ {bufr, grib, turtle}
