@@ -297,6 +297,27 @@ object KpiRules {
     timeIntervals(r),
     title(r))
 
+  /** KPI summary struct `(total, score, percentage, grade, comments)`
+    * from a kpi-tests array ATTRIBUTE (`kpi.py:559-589`), shared by the
+    * full-catalog path ([[graft.engine.Validator.validate]]) and the
+    * `--kpi` single-selection path ([[graft.engine.Reports.selectKpi]]).
+    * Reproduces the summary comments-clobber bug (`kpi.py:573-576`): the
+    * dict ends up holding ALL fields of the LAST test that had comments. */
+  def summaryOf(tests: Column): Column = {
+    val total = aggregate(tests, lit(0), (acc, t) => acc + t.getField("total"))
+    val score = aggregate(tests, lit(0), (acc, t) => acc + t.getField("score"))
+    val pct = when(total === 0, lit(null).cast(DoubleType))
+      .otherwise(bround(score.cast(DoubleType) / total * 100, 3))
+    val lastCommented = {
+      val flagged = transform(tests,
+        t => when(size(t.getField("comments")) > 0, t))
+      val compacted = array_compact(flagged)
+      get(compacted, size(compacted) - 1)
+    }
+    struct(total.as("total"), score.as("score"), pct.as("percentage"),
+      grade(pct).as("grade"), lastCommented.as("comments"))
+  }
+
   /** Letter grade (`kpi.py:593-619`): A≥80, B≥65, C≥50, D≥35, E≥20, else
     * the numeric percentage itself ('F' is unreachable in the reference);
     * null → null. Out-of-range (<0 or >100) raises ValueError there — here

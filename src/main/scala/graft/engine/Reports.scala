@@ -74,6 +74,69 @@ object Reports {
       .withColumn("kpi_summary",
         when(!col("kpi_gated"), col("kpi_summary")))
 
+  /** KPI names accepted by [[selectKpi]] — the reference's `kpi_*` method
+    * suffixes (`/root/reference/pywcmp/wcmp2/kpi.py:502-517`). */
+  val KpiNames: Seq[String] = Seq("contacts", "description",
+    "graphic_overview", "links_health", "pids", "time_intervals", "title")
+
+  private val kpiIdSuffix: Map[String, String] = Map(
+    "contacts" -> "contacts",
+    "description" -> "good_quality_description",
+    "graphic_overview" -> "graphic_overview_for_metadata_records",
+    "links_health" -> "links_health",
+    "pids" -> "persistent_identifiers",
+    "time_intervals" -> "time_intervals",
+    "title" -> "good_quality_title")
+
+  /** KPI single-selection (the `--kpi` flag, `kpi.py:510-517`): keep only
+    * the named KPI in `kpi_tests` and recompute `kpi_summary` over that
+    * single test. An unknown name throws, mirroring the reference's
+    * ValueError (`kpi.py:512-514`). */
+  def selectKpi(validated: DataFrame, kpi: String): DataFrame = {
+    if (!KpiNames.contains(kpi))
+      throw new IllegalArgumentException(
+        s"Invalid KPI number: kpi_$kpi is not in " +
+          KpiNames.map("kpi_" + _).mkString("[", ", ", "]"))
+    val targetId =
+      s"http://wis.wmo.int/spec/wcmp/2/kpi/core/${kpiIdSuffix(kpi)}"
+    import graft.catalog.KpiRules
+    validated
+      .withColumn("kpi_tests",
+        filter(col("kpi_tests"), t => t.getField("id") === targetId))
+      .withColumn("kpi_summary",
+        when(col("parse_ok"), KpiRules.summaryOf(col("kpi_tests"))))
+  }
+
+  /** Single-record entry point — the analog of the reference's pygeoapi
+    * processors and per-file CLI (`/root/reference/pywcmp/
+    * pygeoapi_plugin.py:207-258`, `ets.py:53-84`): validate ONE WCMP2
+    * JSON document with the exact table catalog (a 1-row frame — same
+    * semantics at every scale) and return the (etsReport, kpiReport)
+    * JSON documents. Unparseable input throws, like `parse_wcmp`
+    * (`util.py:203-219`); with `failOnEts` (the KPI `--fail-on-ets`
+    * default) a schema-gate failure yields `None` for the KPI report in
+    * place of the reference's per-record ValueError (`kpi.py:81-87`).
+    * Pass `kpi` to restrict the KPI report to one indicator. */
+  def validateOne(spark: org.apache.spark.sql.SparkSession, json: String,
+                  runDatetime: String = "1970-01-01T00:00:00Z",
+                  probe: graft.catalog.LinkProbe = graft.catalog.OfflineLinkProbe,
+                  failOnEts: Boolean = true,
+                  kpi: Option[String] = None): (String, Option[String]) = {
+    import spark.implicits._
+    val df = Seq(("adhoc", "record.json", "0" * 40, "und", json))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val gated = withEtsGate(Validator.validate(df, probe), failOnEts)
+    val selected = kpi.map(selectKpi(gated, _)).getOrElse(gated)
+    val row = selected.select(col("parse_ok"),
+      etsReportJson(runDatetime).as("ets"),
+      when(col("kpi_summary").isNotNull, kpiReportJson(runDatetime))
+        .as("kpi")).head()
+    if (!row.getBoolean(0))
+      throw new IllegalArgumentException(
+        "Encoding error: record is not valid JSON")
+    (row.getString(1), Option(row.getString(2)))
+  }
+
   /** Driver exit code semantics: the reference CLI exits with the FAILED
     * count (`/root/reference/pywcmp/ets.py:83-84`). A record that fails to
     * parse ABORTS the reference run (`json.loads` raises through

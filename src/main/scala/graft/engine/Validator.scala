@@ -121,37 +121,16 @@ object Validator {
 
     def countCode(codeVal: String): Column =
       size(filter(col("ets_tests"), t => t.getField("code") === codeVal))
-    val kpiTotal = aggregate(col("kpi_tests"), lit(0),
-      (acc, t) => acc + t.getField("total"))
-    val kpiScore = aggregate(col("kpi_tests"), lit(0),
-      (acc, t) => acc + t.getField("score"))
-    // summary comments clobber bug (`kpi.py:573-576`): the dict ends up
-    // holding ALL fields of the LAST test that had comments.
-    val lastCommented = {
-      val flagged = transform(col("kpi_tests"),
-        t => when(size(t.getField("comments")) > 0, t))
-      val compacted = array_compact(flagged)
-      get(compacted, size(compacted) - 1)
-    }
 
     stage1
       .withColumn("ets_summary", when(col("parse_ok"), struct(
         countCode("PASSED").as("PASSED"),
         countCode("FAILED").as("FAILED"),
         countCode("SKIPPED").as("SKIPPED"))))
-      .withColumn("kpi_total_", kpiTotal)
-      .withColumn("kpi_score_", kpiScore)
-      .withColumn("kpi_pct_",
-        when(col("kpi_total_") === 0, lit(null).cast(DoubleType))
-          .otherwise(bround(
-            col("kpi_score_").cast(DoubleType) / col("kpi_total_") * 100, 3)))
-      .withColumn("kpi_summary", when(col("parse_ok"), struct(
-        col("kpi_total_").as("total"),
-        col("kpi_score_").as("score"),
-        col("kpi_pct_").as("percentage"),
-        KpiRules.grade(col("kpi_pct_")).as("grade"),
-        lastCommented.as("comments"))))
-      .drop("kpi_total_", "kpi_score_", "kpi_pct_")
+      // summary over the materialized kpi_tests attribute, incl. the
+      // comments-clobber quirk (kpi.py:573-576) — see KpiRules.summaryOf
+      .withColumn("kpi_summary",
+        when(col("parse_ok"), KpiRules.summaryOf(col("kpi_tests"))))
   }
 
   /** Violation rows `(repo, path, commit, lang, rule_id, severity,

@@ -67,6 +67,48 @@ class ReportsSpec extends SparkSpec {
       .select(col("kpi_summary.score")).as[Int].head() == 25)
   }
 
+  test("validateOne: single-record API returns both reports " +
+       "(pygeoapi_plugin.py:207-258)") {
+    val json = RecordTable.fixtureContent("wcmp2-passing.json")
+    val (ets, kpiOpt) = Reports.validateOne(spark, json,
+      "2026-08-16T00:00:00Z")
+    val e = spark.read.json(Seq(ets).toDS()).collect().head
+    val sm = e.getStruct(e.fieldIndex("summary"))
+    assert((sm.getLong(sm.fieldIndex("PASSED")),
+            sm.getLong(sm.fieldIndex("FAILED"))) == (12L, 0L))
+    assert(e.getAs[String]("metadata_id") ==
+      "urn:wmo:md:ca-eccc-msc:weather.observations.swob-realtime")
+    val k = spark.read.json(Seq(kpiOpt.get).toDS()).collect().head
+    val ks = k.getStruct(k.fieldIndex("summary"))
+    assert(ks.getLong(ks.fieldIndex("score")) == 32L)
+    assert(ks.getAs[String]("grade") == "A")
+  }
+
+  test("validateOne: ETS gate refuses the KPI report for schema-failing " +
+       "records; parse errors throw (kpi.py:81-87, util.py:203-219)") {
+    val failing = RecordTable.fixtureContent("wcmp2-failing.json")
+    val (ets, kpiOpt) = Reports.validateOne(spark, failing)
+    assert(ets.contains("\"FAILED\":3"))
+    assert(kpiOpt.isEmpty)                      // gated
+    assert(Reports.validateOne(spark, failing, failOnEts = false)
+      ._2.nonEmpty)                             // --no-fail-on-ets
+    intercept[IllegalArgumentException] {
+      Reports.validateOne(spark, "{not json")
+    }
+  }
+
+  test("selectKpi: --kpi single selection recomputes the summary " +
+       "(kpi.py:510-517)") {
+    val one = Reports.selectKpi(validated, "title")
+      .where(col("path").endsWith("wcmp2-passing.json"))
+      .select(col("kpi_summary.total"), col("kpi_summary.score"),
+        size(col("kpi_tests"))).as[(Int, Int, Int)].head()
+    assert(one == ((8, 8, 1)))                  // title KPI alone: 8/8
+    intercept[IllegalArgumentException] {
+      Reports.selectKpi(validated, "nope")
+    }
+  }
+
   test("exit code = ETS FAILED count, like the reference CLI " +
        "(pywcmp/ets.py:83-84); parse errors abort (util.py:203-219)") {
     // fixtures include a not-json record: the reference run would raise,
