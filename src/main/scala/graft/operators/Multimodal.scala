@@ -56,6 +56,50 @@ object Multimodal {
         frames.as("n_frames")))
   }
 
+  private def ubyte(media: Column, at: Int): Column =
+    conv(hex(substring(media, at, 1)), 16, 10).cast(IntegerType)
+
+  /** REAL decode path for the container formats whose headers are plain
+    * byte layouts — a pure-JVM, codegen'd column parser with the same
+    * `binary -> media_meta` signature as the stub:
+    *
+    *  - PNG: 8-byte signature, IHDR width/height as big-endian u32 at
+    *    offsets 16/20
+    *  - GIF (87a/89a): logical-screen width/height as little-endian u16
+    *    at offsets 6/8
+    *  - BMP ('BM'): BITMAPINFOHEADER width/height as little-endian i32
+    *    at offsets 18/22 (positive heights; top-down negative heights are
+    *    out of scope for a dimensions probe)
+    *
+    * Returns null for any other payload (codec formats like JPEG whose
+    * dimensions require a segment walk stay behind [[decodeStub]] /
+    * an external codec in production). */
+  def decodeImage(media: Column): Column = {
+    def b(at1: Int): Column = ubyte(media, at1) // 1-based offsets
+    val pngSig = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
+    val pngW = conv(hex(substring(media, 17, 4)), 16, 10).cast(IntegerType)
+    val pngH = conv(hex(substring(media, 21, 4)), 16, 10).cast(IntegerType)
+    val gifSig = substring(media, 1, 3).cast(StringType) === "GIF"
+    val gifW = b(7) + b(8) * 256
+    val gifH = b(9) + b(10) * 256
+    val bmpSig = substring(media, 1, 2).cast(StringType) === "BM"
+    val bmpW = b(19) + b(20) * 256 + b(21) * 65536 + b(22) * 16777216
+    val bmpH = b(23) + b(24) * 256 + b(25) * 65536 + b(26) * 16777216
+    when(pngSig, struct(lit("png").as("format"), pngW.as("width"),
+        pngH.as("height"), lit(1).as("n_frames")))
+      .when(gifSig, struct(lit("gif").as("format"), gifW.as("width"),
+        gifH.as("height"), lit(1).as("n_frames")))
+      .when(bmpSig, struct(lit("bmp").as("format"), bmpW.as("width"),
+        bmpH.as("height"), lit(1).as("n_frames")))
+      .otherwise(lit(null).cast(mediaMetaType))
+  }
+
+  /** Decode dispatch: real header parsers first ([[decodeImage]]), then
+    * the fake-container stub — one `binary -> media_meta` column, the
+    * production seam where an Arrow-batched codec would plug in. */
+  def decode(media: Column): Column =
+    coalesce(decodeImage(media), decodeStub(media))
+
   /** STUB decode: binary -> media_meta struct by parsing the fake header.
     * Real deployments swap the body for a codec call with the SAME
     * signature; every downstream stage is already wired for it. */
@@ -90,7 +134,7 @@ object Multimodal {
     * verify decode matches metadata -> featurize -> frame-sample. */
   def pipeline(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     attachFakeMedia(docs, idCol)
-      .withColumn("decoded", decodeStub(col("media")))
+      .withColumn("decoded", decode(col("media")))
       .withColumn("decode_ok", col("decoded") === col("media_meta"))
       .withColumn("features", featurizeStub(col("media")))
       .withColumn("sampled_frames", sampleFrames(col("decoded")))

@@ -197,4 +197,36 @@ class OperatorsSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("multimodal decode: REAL files (PNG/GIF/BMP headers) decode " +
+       "natively; unknown bytes fall through to the stub") {
+    import java.util.Base64
+    // genuine 1x1 transparent PNG and 1x1 GIF89a files
+    val png1x1 = Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf" +
+      "DwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val gif1x1 = Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    // crafted headers with non-trivial dimensions
+    val png640 = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A,
+      0x1A, 0x0A, 0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xE0.toByte) // 640 x 480
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+      Array[Byte](0x20, 0x03, 0, 0) ++ Array[Byte](0x58, 0x02, 0, 0)
+      // LE 800 x 600 at offsets 18/22
+    val junk = "definitely not an image".getBytes
+    val rows = Seq(("png1", png1x1), ("gif1", gif1x1), ("png640", png640),
+        ("bmp", bmp), ("junk", junk))
+      .toDF("name", "media")
+      .withColumn("m", Multimodal.decode(col("media")))
+      .select(col("name"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(rows("png1") == (("png", 1, 1)))
+    assert(rows("gif1") == (("gif", 1, 1)))
+    assert(rows("png640") == (("png", 640, 480)))
+    assert(rows("bmp") == (("bmp", 800, 600)))
+    assert(rows("junk") == ((null, -1, -1))) // not GRFT either -> null
+  }
 }
