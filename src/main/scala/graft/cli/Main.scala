@@ -20,6 +20,14 @@ import graft.ledger.MetricsLedger
   * count + sha fingerprint atomically. Exit code = min(total ETS FAILED
   * count, 255), matching the reference CLI contract
   * (`/root/reference/pywcmp/ets.py:83-84`).
+  *
+  * Single-record mode (the reference's per-file `pywcmp ets validate` /
+  * `pywcmp kpi validate [--kpi name]`, `ets.py:53-84`, `kpi.py:640-686`):
+  * {{{
+  *   ... graft.cli.Main --one record.json [--kpi title] [--no-fail-on-ets]
+  * }}}
+  * prints the ETS report (and the KPI report unless gated) as JSON and
+  * exits with the record's ETS FAILED count.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -28,9 +36,6 @@ object Main {
     val opts = args.filterNot(flagNames).grouped(2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    val input = opts("input")
-    val output = opts("output")
-    val ledgerDir = opts.getOrElse("ledger", s"$output/_ledger")
     val runDt = opts.getOrElse("run-datetime",
       java.time.Instant.now().toString)
     val failOnEts = !flags.contains("--no-fail-on-ets")
@@ -44,6 +49,23 @@ object Main {
       else builder.master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .getOrCreate()
+
+    opts.get("one").foreach { path =>
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val (ets, kpi) = Reports.validateOne(spark, json, runDt,
+        failOnEts = failOnEts, kpi = opts.get("kpi"))
+      println(ets)
+      kpi.foreach(println)
+      val code = "\"FAILED\":(\\d+)".r.findFirstMatchIn(ets)
+        .map(_.group(1).toInt).getOrElse(0)
+      spark.stop()
+      sys.exit(math.min(code, 255))
+    }
+
+    val input = opts("input")
+    val output = opts("output")
+    val ledgerDir = opts.getOrElse("ledger", s"$output/_ledger")
 
     val ledger = new MetricsLedger(ledgerDir)
     val all = spark.read.parquet(input)
