@@ -106,13 +106,14 @@ object Scaling {
       .split(",").toSeq
     val results = levels.map { cpus =>
       val spark = Bench.session(cpus)
-      val t1 = Bench.validatorThroughput(spark, rows)
-      val t2 = Bench.validatorThroughput(spark, rows)
+      // validatorThroughput warms with a full-size pass itself, so one
+      // call per level is the steady-state best-of-three
+      val t = Bench.validatorThroughput(spark, rows)
       spark.stop()
       // SparkContext must be cleared so the next level gets a new master
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      cpus -> math.max(t1, t2)
+      cpus -> t
     }
     val tN = results.head._2
     val t4N = results.last._2
