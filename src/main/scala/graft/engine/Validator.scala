@@ -48,9 +48,15 @@ object Validator {
       json_object_keys(col("_props")).as("props_keys"),
       // root-level presence channel for the schema gate (missing != null)
       json_object_keys(col("content")).as("root_keys"),
-      // the VARIANT value: parse_ok probe (null on malformed input —
-      // json.loads semantics) AND the typed-JSON channel for the gate's
-      // string-type checks
+      // parse_ok as its OWN boolean field: paths that never read the gate
+      // (partition verdicts, parse/ets violation branches) prune down to
+      // this bool and the variant binary never materializes for them;
+      // codegen subexpression elimination shares the parse with `var`
+      // when both are needed
+      try_parse_json(col("content")).isNotNull.as("parse_ok"),
+      // the VARIANT value: the typed-JSON channel for the schema gate's
+      // string-type checks (null on malformed input — json.loads
+      // semantics)
       try_parse_json(col("content")).as("var"))
     // second barrier: per-row kernels that multiple rule expressions
     // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
@@ -98,7 +104,7 @@ object Validator {
     // `from_json` PERMISSIVE yields an all-null struct (not null) on
     // malformed input, so validity was probed via try_parse_json in the
     // barrier; referenced here as an attribute (it guards 3 columns).
-    val parseOk = col("_p.var").isNotNull
+    val parseOk = col("_p.parse_ok")
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
