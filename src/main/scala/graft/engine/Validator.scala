@@ -143,29 +143,37 @@ object Validator {
     * diagnostic)` — the north-rule output shape. Severity is ERROR for all
     * three sources: ETS test failures (the reference CLI exit code is the
     * FAILED count, `/root/reference/pywcmp/ets.py:83-84`), schema-gate
-    * failures, and parse failures. */
+    * failures, and parse failures.
+    *
+    * SINGLE-PASS: one per-row array of violation structs (parse error |
+    * schema-gate failure followed by failed ETS tests) exploded once. The
+    * previous three-branch union re-evaluated the validate() projection
+    * per branch — three scans and a duplicated parse stage; this shape
+    * scans and evaluates the catalog exactly once, which matters because
+    * violations is half of the engine's forced end-to-end output. */
   def violations(validated: DataFrame): DataFrame = {
-    val keys = Seq(col("repo"), col("path"), col("commit"), col("lang"))
-
-    val parseViolations = validated.where(!col("parse_ok"))
-      .select(keys :+ lit("parse_error").as("rule_id") :+
-        lit("ERROR").as("severity") :+
-        lit("Encoding error: content is not valid JSON").as("diagnostic"): _*)
-
-    val schemaViolations = validated
-      .where(col("parse_ok") && col("validation.code") === "FAILED")
-      .select(keys :+ col("validation.id").as("rule_id") :+
-        lit("ERROR").as("severity") :+
+    val v = struct(lit("x").as("rule_id"), lit("x").as("diagnostic"))
+    val empty = array_except(array(v), array(v)) // typed empty array
+    val parseV = array(struct(
+      lit("parse_error").as("rule_id"),
+      lit("Encoding error: content is not valid JSON").as("diagnostic")))
+    val schemaV = when(col("validation.code") === "FAILED", array(struct(
+        col("validation.id").as("rule_id"),
         concat(col("validation.message"), lit(": "),
-          concat_ws("; ", col("validation.errors"))).as("diagnostic"): _*)
-
-    val etsViolations = validated.where(col("parse_ok"))
-      .select(keys :+ explode(col("ets_tests")).as("t"): _*)
-      .where(col("t.code") === "FAILED")
-      .select(keys :+ col("t.id").as("rule_id") :+
-        lit("ERROR").as("severity") :+ col("t.message").as("diagnostic"): _*)
-
-    parseViolations.unionAll(schemaViolations).unionAll(etsViolations)
+          concat_ws("; ", col("validation.errors"))).as("diagnostic"))))
+      .otherwise(empty)
+    val etsV = transform(
+      filter(col("ets_tests"), t => t.getField("code") === "FAILED"),
+      t => struct(t.getField("id").as("rule_id"),
+        t.getField("message").as("diagnostic")))
+    val perRow = when(!col("parse_ok"), parseV)
+      .otherwise(concat(schemaV, etsV))
+    validated
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        explode(perRow).as("_v"))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("_v.rule_id").as("rule_id"), lit("ERROR").as("severity"),
+        col("_v.diagnostic").as("diagnostic"))
   }
 
   /** Per-partition (lang) verdicts + the resumability fingerprint: row
