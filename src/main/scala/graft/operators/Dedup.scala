@@ -327,13 +327,11 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
 
-  /** The embedding sign-sketch frame `(id, vec, norm, bucket)`: random-
-    * hyperplane LSH (sign sketch of `planes` pseudo-random hyperplanes,
-    * derived deterministically from xxhash64 — no RNG state to ship). */
-  private[operators] def embeddingSigRows(df: DataFrame, vecCol: String,
-                               idCol: String, planes: Int): DataFrame = {
-    val v = col("vec")
-    val sketch = aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+  /** HOF reference implementation of the random-hyperplane sign sketch
+    * (parity-tested against the native codegen'd
+    * [[graft.expressions.SignSketch]]). */
+  def signSketchHof(v: Column, planes: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => {
         val dot = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
@@ -342,11 +340,18 @@ object Dedup {
         acc.bitwiseOR(when(dot > 0, call_function("shiftleft", lit(1L), p))
           .otherwise(lit(0L)))
       })
+
+  /** The embedding sign-sketch frame `(id, vec, norm, bucket)`: random-
+    * hyperplane LSH (sign sketch of `planes` pseudo-random hyperplanes,
+    * derived deterministically from xxhash64 — no RNG state to ship).
+    * Sketch + norm are the native codegen'd vector expressions. */
+  private[operators] def embeddingSigRows(df: DataFrame, vecCol: String,
+                               idCol: String, planes: Int): DataFrame = {
+    import graft.expressions.VectorOps
     parallelize(df.select(col(idCol).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("vec")))
-      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
-        (s, x) => s + x * x)))
-      .withColumn("bucket", sketch)
+      .withColumn("norm", sqrt(VectorOps.dotProduct(col("vec"), col("vec"))))
+      .withColumn("bucket", VectorOps.signSketchCol(col("vec"), planes))
   }
 
   /** Embedding-cosine near-dup: the sign sketch buckets vectors; exact
@@ -366,8 +371,8 @@ object Dedup {
         struct(col("id"), col("norm"), col("vec")), maxBucket)
       .select(bucketPairs(col("members"), (x, y) => struct(
         x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-        (aggregate(zip_with(x.getField("vec"), y.getField("vec"),
-            (a, b) => a * b), lit(0.0d), (s, z) => s + z) /
+        (graft.expressions.VectorOps.dotProduct(
+            x.getField("vec"), y.getField("vec")) /
           (x.getField("norm") * y.getField("norm"))).as("cosine"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
       .where(col("cosine") >= threshold)

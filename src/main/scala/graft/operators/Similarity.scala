@@ -24,12 +24,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot(a, b) as a Column (double). */
+  /** dot(a, b) as a Column (double) — the native codegen'd
+    * [[graft.expressions.DotProduct]] (bit-identical to [[dotHof]], the
+    * interpreted higher-order reference implementation). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorOps.dotProduct(a, b)
+
+  /** HOF reference implementation of [[dot]] (parity-tested). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (s, x) => s + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -58,16 +63,11 @@ object Similarity {
     * of `log2(nlist)` xxhash64-derived hyperplanes — the same family used
     * by [[Dedup.embeddingNearDup]]. Plays the role of IVF's k-means cells
     * without needing a training pass (the judge-relevant property is the
-    * plan shape: narrow assign, probe-limited search). */
+    * plan shape: narrow assign, probe-limited search). Native codegen'd
+    * [[graft.expressions.SignSketch]]; HOF reference impl in
+    * [[Dedup.signSketchHof]] (parity-tested). */
   def cell(vec: Column, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * ((pmod(xxhash64(p, i), lit(1000L)).cast(DoubleType) / 500.0) - 1.0)),
-        lit(0.0d), (s, x) => s + x)
-      acc.bitwiseOR(when(d > 0, call_function("shiftleft", lit(1L), p))
-        .otherwise(lit(0L)))
-    })
+    graft.expressions.VectorOps.signSketchCol(vec, bits)
 
   /** IVF/LSH-bucketed ANN: probe the query's own cell plus its `nprobe-1`
     * single-bit-flip neighbor cells (multi-probe LSH), exact cosine within

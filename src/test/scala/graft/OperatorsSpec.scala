@@ -94,6 +94,38 @@ class OperatorsSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("native DotProduct + SignSketch are bit-identical to the HOF " +
+       "reference implementations") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecs = Seq(
+      (1L, Array(0.5, -1.25, 3.0, 0.0), Array(1.0, 2.0, -0.5, 4.0)),
+      (2L, Array(-0.1, -0.2, -0.3, -0.4), Array(0.9, 0.8, 0.7, 0.6)),
+      (3L, Array(1e-9, 1e9, -1e-9, -1e9), Array(1e9, 1e-9, -1e9, -1e-9)),
+      (4L, Array(0.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast(ArrayType(DoubleType)).as("a"),
+        col("b").cast(ArrayType(DoubleType)).as("b"))
+    val dotMismatch = vecs.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .where(!(col("native") <=> col("hof"))).count()
+    assert(dotMismatch == 0)
+    val sketchMismatch = vecs.select(
+        graft.expressions.VectorOps.signSketchCol(col("a"), 16).as("native"),
+        Dedup.signSketchHof(col("a"), 16).as("hof"))
+      .where(!(col("native") <=> col("hof"))).count()
+    assert(sketchMismatch == 0)
+    // length-mismatch and null-element propagation parity
+    val edge = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(col("a").cast(ArrayType(DoubleType)).as("a"),
+        col("b").cast(ArrayType(DoubleType)).as("b"))
+    val e = edge.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(e.isNullAt(0) && e.isNullAt(1))
+  }
+
   test("simhash dedup pairs identical and near docs") {
     val pairs = Dedup.simhashDedup(docs, maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
