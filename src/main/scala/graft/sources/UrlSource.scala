@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.net.{URI, HttpURLConnection}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2: URL scan. The reference accepts FILE_OR_URL everywhere
+  * (`/root/reference/pywcmp/ets.py:53-84`, `kpi.py:640-686` — a single
+  * blocking `urlopen` per record). Here the URL list is a Dataset
+  * partitioned across the cluster and each partition fetches its slice —
+  * `mapPartitions` is the documented legitimate use (genuine imperative
+  * IO), and everything downstream is the ordinary records table.
+  *
+  * Transport: [[JavaNetFetcher]] speaks whatever `java.net.URL` speaks —
+  * `http(s)://` in production, `file://` in this zero-egress sandbox's
+  * tests (the SAME code path, no stub). Fetch failures become rows with
+  * a `fetch_error` and null content (which the Validator then reports as
+  * a parse_error violation) — a corpus-scale crawl must not abort on one
+  * 404, unlike the reference's raise.
+  */
+object UrlSource {
+
+  /** One fetched record row; `content` null iff `fetch_error` set. */
+  case class Fetched(repo: String, path: String, commit: String,
+                     lang: String, content: String, fetch_error: String)
+
+  trait UrlFetcher extends Serializable {
+    /** Right(body) or Left(error message). */
+    def fetch(url: String): Either[String, String]
+  }
+
+  /** Production transport: java.net URL streams with explicit timeouts
+    * (the reference's link checker uses a 30 s timeout,
+    * `pywcmp/util.py:149`; record fetches get the same default). */
+  case class JavaNetFetcher(timeoutMs: Int = 30000) extends UrlFetcher {
+    def fetch(url: String): Either[String, String] =
+      try {
+        val conn = new URI(url).toURL.openConnection()
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        conn match {
+          case h: HttpURLConnection =>
+            h.setInstanceFollowRedirects(true)
+            h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
+          case _ =>
+        }
+        val in = conn.getInputStream
+        try Right(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case e: Exception =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
+
+  private def pseudoCommit(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Fetch a URL list into the engine's records table shape
+    * `(repo, path, commit, lang, content)` + `fetch_error`. `repo` is the
+    * URL's authority (host) or scheme, `path` the full URL, `commit` a
+    * deterministic sha1 of the URL (re-fetches are new identities only if
+    * the caller says so), `lang` the caller-supplied partition label.
+    * `parallelism` bounds concurrent fetch partitions (default: the
+    * session's). */
+  def fetchTable(spark: SparkSession, urls: Seq[String],
+                 fetcher: UrlFetcher = JavaNetFetcher(),
+                 lang: String = "und",
+                 parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val slices = if (parallelism > 0) parallelism
+      else math.min(math.max(urls.size, 1),
+        spark.sparkContext.defaultParallelism)
+    val ds: Dataset[String] = urls.toDS().repartition(slices)
+    ds.mapPartitions { it =>
+      it.map { url =>
+        val host = try Option(new URI(url).getHost).getOrElse(
+          new URI(url).getScheme) catch { case _: Exception => "invalid" }
+        fetcher.fetch(url) match {
+          case Right(body) =>
+            Fetched(host, url, pseudoCommit(url), lang, body, null)
+          case Left(err) =>
+            Fetched(host, url, pseudoCommit(url), lang, null, err)
+        }
+      }
+    }.toDF()
+  }
+}
