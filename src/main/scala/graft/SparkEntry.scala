@@ -46,6 +46,23 @@ object SparkEntry {
           col("kpi_summary.percentage").as("percentage"),
           col("kpi_summary.grade").as("grade"))
         .orderBy("path")),
+    // S2 URL scan: fixtures written to a temp dir, fetched back through
+    // the PRODUCTION java.net transport as file:// URLs (zero-egress
+    // sandbox), validated like any records table
+    "wcmp_url_scan" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("urlscan")
+      val urls = RecordTable.fixtureNames.map { n =>
+        val f = dir.resolve(n)
+        java.nio.file.Files.writeString(f, RecordTable.fixtureContent(n))
+        f.toUri.toString
+      } :+ dir.resolve("does-not-exist.json").toUri.toString
+      val fetched = graft.sources.UrlSource.fetchTable(s, urls)
+      Validator.validate(fetched.drop("fetch_error"))
+        .select(col("path"), col("parse_ok"),
+          col("ets_summary.FAILED").as("failed"))
+        .withColumn("path", element_at(split(col("path"), "/"), -1))
+        .orderBy("path")
+    }),
     "wcmp_partition_verdicts" -> ((s, _) =>
       Validator.partitionVerdicts(
         Validator.validate(RecordTable.synthesize(s, 2000)))
