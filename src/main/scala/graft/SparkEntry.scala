@@ -235,6 +235,19 @@ object SparkEntry {
     // dropped (and the band rows inside them) for the minhash run above
     "q_lsh_bucket_stats" -> ((s, dir) =>
       Dedup.minhashBucketStats(t(s, dir, "documents"))),
+    // duplicate-cluster resolution: chain edges (consecutive ids within
+    // each exact-dup prefix group) force transitive label propagation;
+    // oracle = DuckDB recursive-CTE closure
+    "q_components" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy("doc_id")
+      val pairs = t(s, dir, "documents")
+        .select(md5(substring(col("text"), 1, 60)).as("g"), col("doc_id"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.components(pairs).orderBy("id")
+    }),
     // the synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.4), so the demo threshold is set where candidates exist; the
     // production default stays 0.99 in the operator
@@ -460,6 +473,21 @@ object SparkEntry {
         |  WHERE a.doc_id < 50)
         | SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
         |   len(list_distinct(list_concat(sa, sb))) AS jaccard FROM p""".stripMargin,
+    "q_components" ->
+      """WITH RECURSIVE
+        | grp AS (SELECT md5(substr(text, 1, 60)) AS g, doc_id
+        |   FROM documents),
+        | ordered AS (SELECT g, doc_id, lag(doc_id) OVER (
+        |   PARTITION BY g ORDER BY doc_id) AS prev FROM grp),
+        | p AS (SELECT prev AS id_a, doc_id AS id_b FROM ordered
+        |   WHERE prev IS NOT NULL),
+        | edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |   UNION ALL SELECT id_b, id_a FROM p),
+        | closure(id, lbl) AS (
+        |   SELECT a, least(a, b) FROM edges
+        |   UNION
+        |   SELECT e.a, c.lbl FROM edges e JOIN closure c ON c.id = e.b)
+        | SELECT id, min(lbl) AS component FROM closure GROUP BY id""".stripMargin,
     "q_cosine_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

@@ -382,6 +382,90 @@ object Dedup {
     pairs
   }
 
+  /** Connected components over a near-dup pair table `(id_a, id_b)`:
+    * every document gets the MINIMUM id reachable through pair edges as
+    * its `component` label — the canonical representative a dedup keep/
+    * drop decision needs (pairs alone under-delete transitive clusters:
+    * A~B and B~C must collapse to one keeper even when A~C was never a
+    * candidate).
+    *
+    * Algorithm: iterative label propagation (the standard join-based
+    * Spark pattern): labels start as own id; each round joins edges to
+    * labels on both endpoints, takes the min label seen across a node's
+    * neighborhood, and stops when a round changes nothing. Rounds needed
+    * = graph diameter, and near-dup clusters are small by construction
+    * (the bucket caps bound them), so convergence is fast; `maxIter`
+    * backstops pathological chains. Labels are persisted per round and
+    * the previous round unpersisted — lineage stays O(1) deep. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast(LongType).as("a"),
+        col("id_b").cast(LongType).as("b"))
+      .unionAll(pairs.select(col("id_b").cast(LongType).as("a"),
+        col("id_a").cast(LongType).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min("b").as("_minb"))
+      .select(col("id"), least(col("id"), col("_minb")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate label per node: min over own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("component", "nbr_component"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min("nbr_component").as("nbr_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"),
+            col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).where(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact dedup (content hash) THEN near-dup
+    * clustering (MinHash-LSH pairs -> [[components]]), returning the
+    * input with `keep` / `duplicate_of` columns — the decision table a
+    * training-data pipeline filters on (`where(col("keep"))`). The
+    * exact stage removes mass duplication first, so the LSH stage's
+    * bucket caps only ever see the long tail. */
+  def dedupCorpus(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", threshold: Double = 0.7,
+                  maxBucket: Int = 200): DataFrame = {
+    val exactGroups = exact(df, textCol, idCol)
+      .select(col("content_sha"), col("keep_id"))
+    val withSha = df.withColumn("_sha", sha2(col(textCol), 256))
+    val exactCanon = withSha
+      .join(exactGroups, withSha("_sha") === exactGroups("content_sha"),
+        "left")
+      .withColumn("_exact_canon",
+        coalesce(col("keep_id"), col(idCol)))
+      .drop("content_sha", "keep_id")
+    // near-dup pairs over exact-canonical docs only
+    val canonDocs = exactCanon.where(col(idCol) === col("_exact_canon"))
+    val pairs = minhashLsh(canonDocs, textCol, idCol,
+      threshold = threshold, maxBucket = maxBucket)
+    val comp = components(pairs)
+    exactCanon
+      .join(comp.withColumnRenamed("id", "_exact_canon")
+        .withColumnRenamed("component", "_near_canon"),
+        Seq("_exact_canon"), "left")
+      .withColumn("duplicate_of",
+        when(coalesce(col("_near_canon"), col("_exact_canon")) =!= col(idCol),
+          coalesce(col("_near_canon"), col("_exact_canon"))))
+      .withColumn("keep", col("duplicate_of").isNull)
+      .drop("_sha", "_exact_canon", "_near_canon")
+  }
+
   /** [[embeddingNearDup]]'s bucket-cap diagnostics (one row). */
   def embeddingBucketStats(df: DataFrame, vecCol: String = "embedding",
                            idCol: String = "vec_id", planes: Int = 16,

@@ -41,6 +41,35 @@ class OperatorsSpec extends SparkSpec {
     assert(exact > 0.5 && exact < 1.0) // one word differs
   }
 
+  test("connected components: transitive near-dup chains collapse to " +
+       "one canonical id") {
+    // chain 1-2, 2-4 plus isolated pair 7-9; 1~4 never a direct pair
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // longer chain needing multiple propagation rounds
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.components(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(i => c2(i) == 1L))
+  }
+
+  test("dedupCorpus: exact + near-dup clustering -> keep/duplicate_of " +
+       "decision table") {
+    val out = Dedup.dedupCorpus(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getBoolean(r.fieldIndex("keep")),
+         if (r.isNullAt(r.fieldIndex("duplicate_of"))) -1L
+         else r.getLong(r.fieldIndex("duplicate_of")))).toMap
+    assert(out.size == 5)
+    assert(out(1L) == ((true, -1L)))   // canonical of {1, 2, 4}
+    assert(out(4L) == ((false, 1L)))   // exact dup of 1
+    assert(out(2L) == ((false, 1L)))   // near-dup of 1
+    assert(out(3L) == ((true, -1L)))   // unique
+    assert(out(5L) == ((true, -1L)))   // unique
+  }
+
   test("bucket-cap diagnostics: dropped buckets are counted, not silent") {
     // maxBucket=2 forces the 3-doc near-dup cluster {1,2,4} to be dropped
     // wherever all three share a band bucket; with a huge cap nothing is
