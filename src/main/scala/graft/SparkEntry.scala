@@ -218,6 +218,19 @@ object SparkEntry {
         .groupBy("lang")
         .agg(sum(TextAnalysis.tokenCountBpe(col("text")))
           .as("total_bpe_tokens"))),
+    // corpus term statistics: top-10 tokens per language (explode ->
+    // count -> windowed top-k; deterministic tiebreak on term)
+    "q_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+      counts.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select("lang", "term", "n", "rank")
+    }),
     // language-ID heuristic: confusion counts vs the labeled lang column
     "q_langid_confusion" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -424,6 +437,15 @@ object SparkEntry {
         | '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')))
         | AS BIGINT) AS total_bpe_tokens
         | FROM documents GROUP BY lang""".stripMargin,
+    "q_top_terms" ->
+      """WITH toks AS (SELECT lang,
+        |   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '')) AS term FROM documents),
+        | c AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2),
+        | r AS (SELECT lang, term, n, CAST(row_number() OVER (
+        |   PARTITION BY lang ORDER BY n DESC, term) AS INTEGER) AS rank
+        |  FROM c)
+        | SELECT lang, term, n, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_langid_confusion" ->
       """WITH toks AS (SELECT lang,
         |  list_filter(string_split_regex(lower(text), '\s+'),
