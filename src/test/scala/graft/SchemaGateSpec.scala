@@ -19,8 +19,9 @@ class SchemaGateSpec extends SparkSpec {
       |["http://wis.wmo.int/spec/wcmp/2/conf/core"],"type":"Feature",
       |"time":{"interval":["2024-01-01","2024-12-31"]},"geometry":null,
       |"properties":{"title":"t","description":"d","type":"dataset",
-      |"created":"2024-01-01T00:00:00Z","contacts":[{"name":"c"}],
-      |"themes":[{"concepts":[{"id":"weather"}]}]},
+      |"created":"2024-01-01T00:00:00Z",
+      |"contacts":[{"name":"c","roles":["host"]}],
+      |"themes":[{"concepts":[{"id":"weather"}],"scheme":"http://x/s"}]},
       |"links":[{"rel":"items","href":"http://example.org/x"}]}"""
       .stripMargin.replace("\n", "")
 
@@ -72,14 +73,73 @@ class SchemaGateSpec extends SparkSpec {
   }
 
   test("empty contacts / themes / links -> too short") {
-    assert(errs(mutate(replace = "\"contacts\":[{\"name\":\"c\"}]" ->
+    assert(errs(mutate(replace =
+      "\"contacts\":[{\"name\":\"c\",\"roles\":[\"host\"]}]" ->
       "\"contacts\":[]")) == Seq("$.properties.contacts: [] is too short"))
     assert(errs(mutate(replace =
-      "\"themes\":[{\"concepts\":[{\"id\":\"weather\"}]}]" ->
+      "\"themes\":[{\"concepts\":[{\"id\":\"weather\"}],\"scheme\":\"http://x/s\"}]" ->
       "\"themes\":[]")) == Seq("$.properties.themes: [] is too short"))
     assert(errs(mutate(replace =
       "\"links\":[{\"rel\":\"items\",\"href\":\"http://example.org/x\"}]" ->
       "\"links\":[]")) == Seq("$.links: [] is too short"))
+  }
+
+  // ---- per-item subschemas (round 3): links / contacts / themes --------
+
+  test("number-typed and missing link href; missing rel") {
+    assert(errs(mutate(replace =
+      "\"href\":\"http://example.org/x\"" -> "\"href\":123")) ==
+      Seq("$.links[0].href: is not of type 'string'"))
+    assert(errs(mutate(replace =
+      ",\"href\":\"http://example.org/x\"" -> "")) ==
+      Seq("$.links[0]: 'href' is a required property"))
+    assert(errs(mutate(replace = "\"rel\":\"items\"," -> "")) ==
+      Seq("$.links[0]: 'rel' is a required property"))
+    assert(errs(mutate(replace = "\"rel\":\"items\"" -> "\"rel\":null")) ==
+      Seq("$.links[0].rel: is not of type 'string'"))
+  }
+
+  test("contacts entry missing required members / mistyped roles") {
+    assert(errs(mutate(replace = ",\"roles\":[\"host\"]" -> "")) ==
+      Seq("$.properties.contacts[0]: 'roles' is a required property"))
+    assert(errs(mutate(replace = "\"roles\":[\"host\"]" ->
+      "\"roles\":\"host\"")) ==
+      Seq("$.properties.contacts[0].roles: is not of type 'array'"))
+    assert(errs(mutate(replace = "\"name\":\"c\"," -> "")) ==
+      Seq("$.properties.contacts[0]: is not valid under any of " +
+        "the given schemas"))
+    // a second, valid contact must not mask the first item's error
+    assert(errs(mutate(replace =
+      "\"contacts\":[{\"name\":\"c\",\"roles\":[\"host\"]}]" ->
+      (""""contacts":[{"name":"c"},""" +
+        """{"organization":"o","roles":["host"]}]"""))) ==
+      Seq("$.properties.contacts[0]: 'roles' is a required property"))
+  }
+
+  test("theme item shape: concepts/scheme required, concept id required") {
+    assert(errs(mutate(replace = "\"concepts\":[{\"id\":\"weather\"}]," -> ""))
+      == Seq("$.properties.themes[0]: 'concepts' is a required property"))
+    assert(errs(mutate(replace = ",\"scheme\":\"http://x/s\"" -> "")) ==
+      Seq("$.properties.themes[0]: 'scheme' is a required property"))
+    assert(errs(mutate(replace = "\"scheme\":\"http://x/s\"" ->
+      "\"scheme\":7")) ==
+      Seq("$.properties.themes[0].scheme: is not of type 'string'"))
+    assert(errs(mutate(replace = "\"concepts\":[{\"id\":\"weather\"}]" ->
+      "\"concepts\":[]")) ==
+      Seq("$.properties.themes[0].concepts: [] is too short"))
+    assert(errs(mutate(replace = "\"concepts\":[{\"id\":\"weather\"}]" ->
+      "\"concepts\":{\"id\":\"weather\"}")) ==
+      Seq("$.properties.themes[0].concepts: is not of type 'array'"))
+    assert(errs(mutate(replace = "{\"id\":\"weather\"}" ->
+      "{\"label\":\"weather\"}")) ==
+      Seq("$.properties.themes[0].concepts[0]: " +
+        "'id' is a required property"))
+    assert(errs(mutate(replace = "{\"id\":\"weather\"}" ->
+      "{\"id\":[\"weather\"]}")) ==
+      Seq("$.properties.themes[0].concepts[0].id: is not of type 'string'"))
+    assert(errs(mutate(replace = "\"concepts\":[{\"id\":\"weather\"}]" ->
+      "\"concepts\":[{\"id\":\"weather\"},\"oops\"]")) ==
+      Seq("$.properties.themes[0].concepts[1]: is not of type 'object'"))
   }
 
   test("wrong-typed time (string) -> type error; null time passes") {
