@@ -23,12 +23,44 @@ import org.apache.spark.storage.StorageLevel
   * returns. The pre-fix plan re-evaluated the signature pipeline for every
   * consumer — six full corpus scans per minhash run.
   *
+  * Cache lifecycle contract: every INTERMEDIATE cache (signatures,
+  * candidate pairs, shingles, edges, per-round labels) is materialized
+  * and unpersisted before its operator returns. The RESULT frame each
+  * operator returns is itself persisted (it is always consumed more than
+  * once — by the caller and, in compositions like [[dedupCorpus]], by a
+  * downstream stage) and registered with the operator registry; a
+  * long-lived driver releases all of them with [[releaseCaches]] when the
+  * results are no longer needed. Nothing else is left cached — asserted
+  * in OperatorsSpec via `sparkContext.getPersistentRDDs`.
+  *
   * No silent caps: buckets larger than `maxBucket` are dropped (mass
   * duplication is [[exact]]'s job — see the per-operator notes); the
   * `*BucketStats` diagnostics report exactly how many buckets/rows the cap
   * dropped, so a run can prove the cap didn't eat real signal.
   */
 object Dedup {
+
+  /** Result caches still owned by this operator family (see the cache
+    * lifecycle contract above). */
+  private val resultCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist + register a RESULT frame (caller-visible cache). */
+  private def owned(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    resultCaches.add(df)
+    df
+  }
+
+  /** Release every result cache the dedup operators are still holding.
+    * Call when the returned frames are no longer in use (a long-lived
+    * driver that runs dedup repeatedly must, or cached blocks accumulate).
+    * Unpersisting is safe at any point — frames remain correct, they just
+    * recompute if consumed again. */
+  def releaseCaches(): Unit = {
+    var df = resultCaches.poll()
+    while (df != null) { df.unpersist(); df = resultCaches.poll() }
+  }
 
   /** whitespace tokens, lowercased */
   def tokens(text: Column): Column =
@@ -60,7 +92,12 @@ object Dedup {
     * shuffle is only ever paid on inputs small enough not to care. */
   private[operators] def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // split count read off the internal physical RDD: `df.rdd` would
+    // additionally plan a row-deserializing conversion DAG per call just
+    // to read a partition count
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Exact dedup via hash-groupBy: one shuffle on the 256-bit content
@@ -203,9 +240,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     candidates.count() // materialize so the band-row cache can be freed
     bandRows.unpersist()
-    verifiedJaccard(df, candidates, textCol, idCol, shingleN)
+    val (jac, sh) = verifiedJaccard(df, candidates, textCol, idCol, shingleN)
+    val verified = owned(jac
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"))
+    verified.count() // materialize so candidate/shingle caches can be freed
+    candidates.unpersist()
+    sh.unpersist()
+    verified
   }
 
   /** [[minhashLsh]]'s bucket-cap diagnostics (one row): how many buckets
@@ -259,15 +301,14 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     val chunkRows = simhashChunkRows(df, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
+    val pairs = owned(boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
         struct(col("id"), col("sig")), maxBucket)
       .select(bucketPairs(col("members"), (x, y) => struct(
         x.getField("id").as("id_a"), y.getField("id").as("id_b"),
         hamming(x.getField("sig"), y.getField("sig")).as("hamming"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
-      .where(col("hamming") <= maxHamming)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(col("hamming") <= maxHamming))
     pairs.count() // materialize so the chunk-row cache can be freed
     chunkRows.unpersist()
     pairs
@@ -301,10 +342,12 @@ object Dedup {
     * it is referenced three times): shingle ONLY the docs that appear in
     * some candidate pair (broadcast-able semi-join), persist that small
     * frame, and join it to both pair sides — one corpus scan regardless of
-    * pair count. */
+    * pair count. Returns the jaccard frame AND the persisted shingle
+    * cache; the caller unpersists the cache after materializing the
+    * result (see the cache lifecycle contract). */
   private[operators] def verifiedJaccard(docs: DataFrame, pairs: DataFrame,
                               textCol: String, idCol: String,
-                              n: Int): DataFrame = {
+                              n: Int): (DataFrame, DataFrame) = {
     val ids = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     // semi-join FIRST (on the raw columns, so it can ride the scan), then
@@ -314,7 +357,7 @@ object Dedup {
       .select(col("id"), explode(array(tokens(col("text")))).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    joinJaccard(sh, pairs)
+    (joinJaccard(sh, pairs), sh)
   }
 
   private[operators] def joinJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
@@ -367,7 +410,7 @@ object Dedup {
                        maxBucket: Int = 1000): DataFrame = {
     val sigRows = embeddingSigRows(df, vecCol, idCol, planes)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = boundedBucketMembers(sigRows, Seq("bucket"),
+    val pairs = owned(boundedBucketMembers(sigRows, Seq("bucket"),
         struct(col("id"), col("norm"), col("vec")), maxBucket)
       .select(bucketPairs(col("members"), (x, y) => struct(
         x.getField("id").as("id_a"), y.getField("id").as("id_b"),
@@ -375,8 +418,7 @@ object Dedup {
             x.getField("vec"), y.getField("vec")) /
           (x.getField("norm") * y.getField("norm"))).as("cosine"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
-      .where(col("cosine") >= threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(col("cosine") >= threshold))
     pairs.count() // materialize so the sig cache can be freed
     sigRows.unpersist()
     pairs
@@ -387,21 +429,29 @@ object Dedup {
     * its `component` label — the canonical representative a dedup keep/
     * drop decision needs (pairs alone under-delete transitive clusters:
     * A~B and B~C must collapse to one keeper even when A~C was never a
-    * candidate).
+    * candidate). Ids keep their NATIVE orderable type (string doc ids
+    * work; `min`/`least` order strings lexicographically).
     *
-    * Algorithm: iterative label propagation (the standard join-based
-    * Spark pattern): labels start as own id; each round joins edges to
-    * labels on both endpoints, takes the min label seen across a node's
-    * neighborhood, and stops when a round changes nothing. Rounds needed
-    * = graph diameter, and near-dup clusters are small by construction
-    * (the bucket caps bound them), so convergence is fast; `maxIter`
-    * backstops pathological chains. Labels are persisted per round and
-    * the previous round unpersisted — lineage stays O(1) deep. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast(LongType).as("a"),
-        col("id_b").cast(LongType).as("b"))
-      .unionAll(pairs.select(col("id_b").cast(LongType).as("a"),
-        col("id_a").cast(LongType).as("b")))
+    * Algorithm: join-based min-label propagation WITH pointer jumping.
+    * Labels start as own id; each round a node takes the min over (its
+    * label, its neighbors' labels, its label's label). The neighbor term
+    * alone moves a label one hop per round (O(diameter) rounds — a chain
+    * of 10^6 near-identical docs would never finish); the pointer-jump
+    * term `component(component(id))` halves the remaining distance each
+    * round, so convergence is O(log diameter) — `maxIter = 25` covers
+    * chains beyond 2^25 nodes. Convergence is detected IN the same job
+    * that materializes the round (a `_changed` flag aggregated over the
+    * persisted frame): one Spark job per round. If the loop somehow still
+    * hits `maxIter` unconverged it THROWS rather than returning silently
+    * wrong labels (non-converged labels under-delete transitive
+    * duplicates downstream).
+    *
+    * Per-round frames are persisted and the previous round unpersisted —
+    * lineage stays O(1) deep. The returned labels frame is the operator's
+    * result cache (see the cache lifecycle contract). */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("id"))
       .agg(min("b").as("_minb"))
@@ -410,26 +460,45 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate label per node: min over own label and neighbors' labels
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "b")
-          .withColumnRenamed("component", "nbr_component"), Seq("b"))
+        .join(labels.select(col("id").as("b"),
+          col("component").as("nbr_component")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min("nbr_component").as("nbr_component"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      // pointer jump: my label's current label (labels self-join)
+      val viaParent = labels.select(col("id").as("_pid"),
+        col("component").as("parent_component"))
+      val next = labels.select(col("id"), col("component").as("old"))
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaParent, col("old") === col("_pid"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"),
-            col("component"))).as("component"))
+          least(col("old"),
+            coalesce(col("nbr_component"), col("old")),
+            coalesce(col("parent_component"), col("old"))).as("component"),
+          col("old"))
+        .select(col("id"), col("component"),
+          (col("component") < col("old")).as("_changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id")).where(col("component") < col("old")).count()
+      // ONE job: the full aggregate materializes every cached partition
+      // (a limit-style probe could leave partitions partially computed
+      // and therefore uncached) and returns the changed count
+      val changed = next
+        .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"components: labels still changing after $maxIter rounds — " +
+          "refusing to return non-converged (silently wrong) labels")
+    }
+    resultCaches.add(labels) // persisted result cache (3 cols incl. _changed)
+    labels.select("id", "component")
   }
 
   /** End-to-end corpus dedup: exact dedup (content hash) THEN near-dup
@@ -455,6 +524,9 @@ object Dedup {
     val pairs = minhashLsh(canonDocs, textCol, idCol,
       threshold = threshold, maxBucket = maxBucket)
     val comp = components(pairs)
+    // components() materialized its labels; the pair cache is no longer
+    // needed — the decision table below reads only the labels cache
+    pairs.unpersist()
     exactCanon
       .join(comp.withColumnRenamed("id", "_exact_canon")
         .withColumnRenamed("component", "_near_canon"),

@@ -55,6 +55,50 @@ class OperatorsSpec extends SparkSpec {
     assert((1L to 9L).forall(i => c2(i) == 1L))
   }
 
+  test("components: pointer jumping converges chains far beyond the " +
+       "round budget (O(log diameter), not O(diameter))") {
+    // diameter 59 — min-label-only propagation would need 59 rounds and
+    // previously returned silently-wrong labels past maxIter
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c = Dedup.components(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 60L).forall(i => c(i) == 1L))
+  }
+
+  test("components: ids keep their native type (string doc ids work)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val c = Dedup.components(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("components: refuses to return non-converged labels (throws at " +
+       "maxIter instead of under-deleting downstream)") {
+    val chain = (1L until 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.components(chain, maxIter = 1)
+    }
+  }
+
+  test("cache lifecycle: operators release every intermediate; result " +
+       "caches are registry-owned and freed by releaseCaches()") {
+    Dedup.releaseCaches() // start from a known state
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Dedup.minhashLsh(docs, threshold = 0.5).count()
+    Dedup.simhashDedup(docs, maxHamming = 16).count()
+    Dedup.embeddingNearDup(vecs).count()
+    Dedup.components(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")).count()
+    Dedup.dedupCorpus(docs, threshold = 0.5).count()
+    Dedup.releaseCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before,
+      s"leaked persistent RDDs: ${after -- before}")
+  }
+
   test("dedupCorpus: exact + near-dup clustering -> keep/duplicate_of " +
        "decision table") {
     val out = Dedup.dedupCorpus(docs, threshold = 0.5).collect()
@@ -275,9 +319,24 @@ class OperatorsSpec extends SparkSpec {
     val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
       Array[Byte](0x20, 0x03, 0, 0) ++ Array[Byte](0x58, 0x02, 0, 0)
       // LE 800 x 600 at offsets 18/22
+    // top-down BMP: height stored NEGATIVE (-600 = A8 FD FF FF LE); the
+    // high 0xFF bytes overflowed the old Int assembly under ANSI mode
+    val bmpTopDown = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+      Array[Byte](0x20, 0x03, 0, 0) ++
+      Array[Byte](0xA8.toByte, 0xFD.toByte, 0xFF.toByte, 0xFF.toByte)
+    // minimal JPEG: SOI + APP0(JFIF) + SOF0 with 1024 x 768
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+        0xFF.toByte, 0xE0.toByte, 0, 16) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8,
+        0x03, 0x00, 0x04, 0x00, 3) ++ Array.fill[Byte](9)(0)
+    // JPEG that ends (EOI) before any SOF -> undecodable -> null
+    val jpegNoSof = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte)
     val junk = "definitely not an image".getBytes
     val rows = Seq(("png1", png1x1), ("gif1", gif1x1), ("png640", png640),
-        ("bmp", bmp), ("junk", junk))
+        ("bmp", bmp), ("bmpTopDown", bmpTopDown), ("jpeg", jpeg),
+        ("jpegNoSof", jpegNoSof), ("junk", junk))
       .toDF("name", "media")
       .withColumn("m", Multimodal.decode(col("media")))
       .select(col("name"), col("m.format"), col("m.width"), col("m.height"))
@@ -288,6 +347,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("gif1") == (("gif", 1, 1)))
     assert(rows("png640") == (("png", 640, 480)))
     assert(rows("bmp") == (("bmp", 800, 600)))
+    assert(rows("bmpTopDown") == (("bmp", 800, 600))) // abs(negative height)
+    assert(rows("jpeg") == (("jpeg", 1024, 768)))     // SOF segment walk
+    assert(rows("jpegNoSof") == ((null, -1, -1)))
     assert(rows("junk") == ((null, -1, -1))) // not GRFT either -> null
+  }
+
+  test("JPEG dims: SOF walk skips APPn/quantization segments and resyncs " +
+       "over entropy-coded data; real 1x1 JPEG decodes") {
+    import java.util.Base64
+    // genuine minimal 1x1 baseline JPEG (quality irrelevant)
+    val jpg1x1 = Base64.getDecoder.decode(
+      "/9j/4AAQSkZJRgABAQEAYABgAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkS" +
+      "Ew8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAB" +
+      "AAEBAREA/8QAFAABAAAAAAAAAAAAAAAAAAAACf/EABQQAQAAAAAAAAAAAAAAAAAA" +
+      "AAD/2gAIAQEAAD8AKp//2Q==")
+    val got = Seq(Tuple1(jpg1x1)).toDF("media")
+      .select(Multimodal.decode(col("media")).as("m"))
+      .select("m.format", "m.width", "m.height").collect().head
+    assert(got.getString(0) == "jpeg")
+    assert(got.getInt(1) == 1 && got.getInt(2) == 1)
   }
 }
