@@ -68,12 +68,19 @@ object Multimodal {
     *  - GIF (87a/89a): logical-screen width/height as little-endian u16
     *    at offsets 6/8
     *  - BMP ('BM'): BITMAPINFOHEADER width/height as little-endian i32
-    *    at offsets 18/22 (positive heights; top-down negative heights are
-    *    out of scope for a dimensions probe)
+    *    at offsets 18/22. The i32 is assembled in LONG arithmetic and the
+    *    two's complement decoded explicitly: a high byte >= 0x80 would
+    *    overflow Int math (an ArithmeticException under ANSI mode — a
+    *    single top-down BMP would abort the whole decode job). Top-down
+    *    BMPs carry a NEGATIVE height whose magnitude is the pixel height,
+    *    so the probe emits abs(height); a non-positive width is corrupt
+    *    and falls through to null.
+    *  - JPEG (FFD8): SOF segment walk via the codegen'd
+    *    [[graft.expressions.JpegDims]] expression (dimensions live in a
+    *    variable-offset SOF0-SOF15 marker segment — not a fixed layout).
     *
-    * Returns null for any other payload (codec formats like JPEG whose
-    * dimensions require a segment walk stay behind [[decodeStub]] /
-    * an external codec in production). */
+    * Returns null for any other payload (audio/video codec formats stay
+    * behind [[decodeStub]] / an external codec in production). */
   def decodeImage(media: Column): Column = {
     def b(at1: Int): Column = ubyte(media, at1) // 1-based offsets
     val pngSig = hex(substring(media, 1, 8)) === "89504E470D0A1A0A"
@@ -83,14 +90,27 @@ object Multimodal {
     val gifW = b(7) + b(8) * 256
     val gifH = b(9) + b(10) * 256
     val bmpSig = substring(media, 1, 2).cast(StringType) === "BM"
-    val bmpW = b(19) + b(20) * 256 + b(21) * 65536 + b(22) * 16777216
-    val bmpH = b(23) + b(24) * 256 + b(25) * 65536 + b(26) * 16777216
+    def leI32(at1: Int): Column = {
+      val u = b(at1).cast(LongType) + b(at1 + 1).cast(LongType) * 256L +
+        b(at1 + 2).cast(LongType) * 65536L +
+        b(at1 + 3).cast(LongType) * 16777216L
+      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+    }
+    val bmpW = leI32(19)
+    val bmpH = leI32(23)
+    val jpegWh = graft.expressions.JpegDims.jpegDims(media)
     when(pngSig, struct(lit("png").as("format"), pngW.as("width"),
         pngH.as("height"), lit(1).as("n_frames")))
       .when(gifSig, struct(lit("gif").as("format"), gifW.as("width"),
         gifH.as("height"), lit(1).as("n_frames")))
-      .when(bmpSig, struct(lit("bmp").as("format"), bmpW.as("width"),
-        bmpH.as("height"), lit(1).as("n_frames")))
+      .when(bmpSig && bmpW > 0,
+        struct(lit("bmp").as("format"), bmpW.cast(IntegerType).as("width"),
+          abs(bmpH).cast(IntegerType).as("height"), lit(1).as("n_frames")))
+      .when(jpegWh.isNotNull,
+        struct(lit("jpeg").as("format"),
+          shiftright(jpegWh, 16).cast(IntegerType).as("width"),
+          jpegWh.bitwiseAND(lit(0xFFFFL)).cast(IntegerType).as("height"),
+          lit(1).as("n_frames")))
       .otherwise(lit(null).cast(mediaMetaType))
   }
 
