@@ -27,6 +27,36 @@ object OfflineLinkProbe extends LinkProbe {
     coalesce(declaredType, lit("text/html"))
 }
 
+/** Row-local probe seam backed by a MATERIALIZED probe dimension — the
+  * production path: `(href, accessible, mime)` rows from
+  * [[graft.sources.UrlSource.probeTable]] compiled into the plan as two
+  * literal maps (K4/K5 then evaluate with zero joins and zero network).
+  * Reference mime semantics kept: declared `type` first, probed
+  * Content-Type as fallback (`/root/reference/pywcmp/wcmp2/kpi.py:
+  * 347-352`). URLs the probe pass never reached count INACCESSIBLE — a
+  * link cannot be claimed healthy unprobed. For probe dims too large to
+  * ship in-plan, use [[graft.engine.DatasetRules.linkHealthJoin]]. */
+case class MapLinkProbe(entries: Map[String, (Boolean, String)])
+    extends LinkProbe {
+  private val acc: Map[String, Boolean] =
+    entries.map { case (k, (a, _)) => k -> a }
+  private val mimes: Map[String, String] =
+    entries.collect { case (k, (_, m)) if m != null => k -> m }
+  def accessible(href: Column): Column =
+    if (acc.isEmpty) lit(false)
+    else coalesce(element_at(typedlit(acc), href), lit(false))
+  def mime(href: Column, declaredType: Column): Column =
+    if (mimes.isEmpty) declaredType
+    else coalesce(declaredType, element_at(typedlit(mimes), href))
+}
+object MapLinkProbe {
+  /** Collect a probe dimension table (href, accessible, mime) into an
+    * in-plan probe. Caller guarantees the dim is literal-sized. */
+  def fromTable(probeTable: org.apache.spark.sql.DataFrame): MapLinkProbe =
+    MapLinkProbe(probeTable.select("href", "accessible", "mime").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap)
+}
+
 /** One KPI compiled to Catalyst expressions: unlike ETS there is no early
   * return — every sub-check always evaluates and contributes a point and/or
   * a comment (`/root/reference/pywcmp/wcmp2/kpi.py:82-490`). */

@@ -144,11 +144,23 @@ object DatasetRules {
   def langDrift(records: DataFrame, buckets: Int = 20,
                 maxLen: Int = 20000): DataFrame = {
     val eps = 1e-9
-    val hist = records
+    val histPlan = records
       .select(col("lang"),
         width_bucket(length(col("content")), lit(0), lit(maxLen),
           lit(buckets)).as("bucket"))
       .groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan: the histogram feeds BOTH the global and the
+    // per-lang branches below, and a lazy frame referenced twice would
+    // re-execute the width_bucket aggregation — and the records scan
+    // under it — once per branch (exchange reuse is not guaranteed across
+    // the differing parent plans). The aggregate is |langs| x (buckets+2)
+    // rows BY CONSTRUCTION (lang is the partition column — bounded
+    // cardinality), so materializing it once to the driver as a local
+    // relation is the cheapest barrier: no cached blocks left behind, no
+    // second scan, and the PSI/KL reduce below runs over KB-sized input.
+    val spark = records.sparkSession
+    val hist = spark.createDataFrame(
+      java.util.Arrays.asList(histPlan.collect(): _*), histPlan.schema)
     val global = hist.groupBy("bucket")
       .agg(sum("cnt").as("gcnt"))
       .withColumn("gtotal", sum("gcnt").over())
@@ -168,6 +180,35 @@ object DatasetRules {
           log((col("p_lang") + eps) / (col("p_global") + eps))).as("kl"))
       .withColumn("drifted", col("psi") >= 0.2)
   }
+
+  /** The distinct probe-able URL pool of a records table — the SAME
+    * pooled link set kpi_links_health scores (record links ++ theme
+    * concept urls ++ theme schemes ++ contact links, http(s) only,
+    * `kpi.py:356-374`), extracted table-wide: parse once behind a
+    * Generate barrier, explode the pool, distinct. Feed the result to
+    * [[graft.sources.UrlSource.probeTable]] and the probed dim back into
+    * [[linkHealthJoin]] (table-scale) or
+    * [[graft.catalog.MapLinkProbe.fromTable]] (in-plan seam) — the
+    * production replacement for the reference's live per-record probing
+    * (`pywcmp/util.py:149-200`). */
+  def recordLinkUrls(records: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import records.sparkSession.implicits._
+    val rc = graft.catalog.RecordCols(col("content"), col("rec"),
+      lit(null), lit(null), lit(null))
+    records
+      .select(explode(array(from_json(col("content"),
+        graft.model.Wcmp2Schema.root))).as("rec"))
+      .select(explode(graft.catalog.KpiRules.httpLinkPool(rc)).as("p"))
+      .select(col("p.href")).where(col("href").isNotNull)
+      .distinct().as[String]
+  }
+
+  /** One-call production probe path: pool URLs -> partitioned HEAD probe
+    * -> `(href, accessible, mime)` dimension. */
+  def buildProbeTable(records: DataFrame,
+      prober: graft.sources.UrlSource.UrlProber =
+        graft.sources.UrlSource.JavaNetProber()): DataFrame =
+    graft.sources.UrlSource.probeTable(recordLinkUrls(records), prober)
 
   /** K4/K5 at scale with a REAL probe table: explode all links once, join
     * the probe dimension on href (broadcast when small, SMJ otherwise),

@@ -58,6 +58,66 @@ object UrlSource {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** One probed URL row — the link-probe dimension shape (S8). */
+  case class Probed(href: String, accessible: Boolean, mime: String)
+
+  trait UrlProber extends Serializable {
+    /** (accessible, mime type or null) */
+    def probe(url: String): (Boolean, String)
+  }
+
+  /** Production probe transport — the `check_url` analog
+    * (`/root/reference/pywcmp/util.py:149-200`): accessible = the request
+    * completes without error (the reference counts any urlopen exception
+    * as inaccessible), mime = the response Content-Type stripped of
+    * parameters. HTTP(S) sends HEAD (the reference GETs and discards the
+    * body; HEAD is the wire-frugal equivalent) and requires status < 400;
+    * other schemes (file:// in the zero-egress tests — the same code
+    * path) open the stream to prove existence. */
+  case class JavaNetProber(timeoutMs: Int = 30000) extends UrlProber {
+    private def mimeOf(ct: String): String =
+      Option(ct).map(_.split(";")(0).trim).filter(_.nonEmpty).orNull
+    def probe(url: String): (Boolean, String) =
+      try {
+        val conn = new URI(url).toURL.openConnection()
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        conn match {
+          case h: HttpURLConnection =>
+            h.setInstanceFollowRedirects(true)
+            h.setRequestMethod("HEAD")
+            h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
+            val ok = h.getResponseCode < 400
+            val mime = mimeOf(h.getContentType)
+            h.disconnect()
+            (ok, mime)
+          case c =>
+            val in = c.getInputStream
+            try (true, mimeOf(c.getContentType)) finally in.close()
+        }
+      } catch { case _: Exception => (false, null) }
+  }
+
+  /** Probe a distributed URL column into the `(href, accessible, mime)`
+    * dimension table that [[graft.engine.DatasetRules.linkHealthJoin]] and
+    * [[graft.catalog.MapLinkProbe]] consume. Same partitioned-
+    * `mapPartitions` shape as [[fetchTable]]: each partition probes its
+    * slice, failures become `accessible = false` rows — never an abort. */
+  def probeTable(urls: Dataset[String],
+                 prober: UrlProber = JavaNetProber(),
+                 parallelism: Int = 0): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val slices = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    urls.repartition(slices).mapPartitions { it =>
+      it.map { u =>
+        val (ok, mime) = prober.probe(u)
+        Probed(u, ok, mime)
+      }
+    }.toDF()
+  }
+
   /** Fetch a URL list into the engine's records table shape
     * `(repo, path, commit, lang, content)` + `fetch_error`. `repo` is the
     * URL's authority (host) or scheme, `path` the full URL, `commit` a

@@ -52,4 +52,85 @@ class UrlSourceSpec extends SparkSpec {
     val errs = fetched.select("fetch_error").collect().map(_.getString(0))
     assert(errs.length == 2 && errs.forall(_ != null))
   }
+
+  test("production link probe: real HTTP HEAD fetches (loopback server) " +
+       "build the probe dim; MapLinkProbe drives K4/K5 scores end-to-end") {
+    import spark.implicits._
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // loopback HTTP server — the probe runs the PRODUCTION java.net
+    // HTTP(S) code path, zero egress
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, status: Int, ctype: String): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(x: HttpExchange): Unit = {
+          if (ctype != null)
+            x.getResponseHeaders.add("Content-Type", ctype)
+          x.sendResponseHeaders(status, -1)
+          x.close()
+        }
+      })
+    serve("/preview.png", 200, "image/png")
+    serve("/data.html", 200, "text/html; charset=utf-8")
+    serve("/missing", 404, null)
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // 1. probe dimension from live HEAD fetches
+      val probeDf = UrlSource.probeTable(Seq(
+        s"$base/preview.png", s"$base/data.html", s"$base/missing",
+        "http://127.0.0.1:1/conn-refused").toDS())
+      assert(probeDf.columns.toSeq == Seq("href", "accessible", "mime"))
+      val m = probeDf.collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getString(2))).toMap
+      assert(m(s"$base/preview.png") == ((true, "image/png")))
+      assert(m(s"$base/data.html") == ((true, "text/html"))) // params stripped
+      assert(m(s"$base/missing")._1 == false)
+      assert(m("http://127.0.0.1:1/conn-refused") == ((false, null)))
+
+      // 2. the probed dim feeds the K4/K5 seam: scores reflect REAL
+      // accessibility, not the offline stub's all-true
+      val record =
+        s"""{"id":"urn:wmo:md:de-dwd:x","conformsTo":
+           |["http://wis.wmo.int/spec/wcmp/2/conf/core"],"type":"Feature",
+           |"time":null,"geometry":null,
+           |"properties":{"title":"t","description":"d","type":"dataset",
+           |"created":"2024-01-01T00:00:00Z","wmo:dataPolicy":"core",
+           |"contacts":[{"organization":"c","roles":["host"]}],
+           |"themes":[{"concepts":[{"id":"weather"}],
+           |"scheme":"https://codes.wmo.int/earth-system-discipline"}]},
+           |"links":[
+           |{"rel":"preview","href":"$base/preview.png","type":"image/png"},
+           |{"rel":"items","href":"$base/data.html","type":"text/html"},
+           |{"rel":"related","href":"$base/missing","type":"text/html"}]}"""
+          .stripMargin.replace("\n", "")
+      val df = Seq(("r", "p", "c", "en", record))
+        .toDF("repo", "path", "commit", "lang", "content")
+      val probe = graft.catalog.MapLinkProbe.fromTable(probeDf)
+      val kpis = Validator.validate(df, probe)
+        .select(explode(col("kpi_tests")).as("t"))
+        .select(col("t.id"), col("t.score"), col("t.total")).collect()
+        .map(r => r.getString(0).split('/').last ->
+          (r.getInt(1), r.getInt(2))).toMap
+      // graphic_overview: 1 preview link -> found + web-image mime
+      // (declared AND probed) + accessible = 3/3
+      assert(kpis("graphic_overview_for_metadata_records") == ((3, 3)))
+      // links_health pool: 3 record links + the theme scheme URL = 4
+      // (total 8); accessible: png + html (scheme/missing fail) = 2;
+      // mime: 3 declared types valid, scheme probes to nothing = 3
+      assert(kpis("links_health") == ((5, 8)))
+
+      // 3. table-scale path: the same dim through recordLinkUrls +
+      // linkHealthJoin
+      val urls = graft.engine.DatasetRules.recordLinkUrls(df)
+        .collect().toSet
+      assert(urls == Set(s"$base/preview.png", s"$base/data.html",
+        s"$base/missing",
+        "https://codes.wmo.int/earth-system-discipline"))
+      val health = graft.engine.DatasetRules
+        .linkHealthJoin(df, probeDf).collect().head
+      assert(health.getLong(health.fieldIndex("n_http_links")) == 3)
+      assert(health.getLong(health.fieldIndex("n_accessible")) == 2)
+    } finally server.stop(0)
+  }
 }
