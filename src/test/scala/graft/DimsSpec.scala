@@ -76,6 +76,59 @@ class DimsSpec extends SparkSpec {
     assert(!topicOk("origin/a/wis2/de-dwd/bulletins/core/weather/x")) // type
   }
 
+  private def topicOkWith(ch: String, table: Option[Set[String]]): Boolean =
+    Seq(ch).toDF("c").select(Dims.validTopicChannel(col("c"), table))
+      .as[Boolean].head()
+
+  test("published sub-discipline table pins levels >= 8: charset-valid " +
+       "but unpublished tokens fail WITH the table, pass without") {
+    val table = Some(Dims.vendoredSubDisciplines)
+    val unpublished = "origin/a/wis2/de-dwd/data/core/weather/" +
+      "surface-based-observations/made-up-kebab-token"
+    assert(topicOkWith(unpublished, None))     // charset fallback: passes
+    assert(!topicOkWith(unpublished, table))   // published table: fails
+    // published leaves and intermediate nodes pass
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "surface-based-observations/synop", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "surface-based-observations", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "prediction/forecast/ensemble/global", table))
+    // the WIS2 reserved `experimental` token opens a free-form subtree —
+    // but only under a published prefix
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "experimental/anything-goes-here/below", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "aviation/experimental/new-report-type", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
+      "unpublished-node/experimental/x", table))
+    // disciplines the table does not cover keep the charset fallback
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/ocean/" +
+      "surface-based-observations/anything", table))
+    // the fixture-invalid channel still fails (charset already catches it)
+    assert(!topicOkWith("origin/a/wis2/ca-eccc-msc/data/core/weather/" +
+      "surface-based-observations/landFixed", table))
+    // both wcmp2-passing channels validate against the REAL table
+    assert(topicOkWith("origin/a/wis2/ca-eccc-msc/data/core/weather/" +
+      "surface-based-observations/synop", table))
+    assert(topicOkWith("origin/a/wis2/ca-eccc-msc/data/core/weather/" +
+      "experimental/surface-based-observations/synop", table))
+  }
+
+  test("sub-discipline table loads from the dims-dir override") {
+    val dir = java.nio.file.Files.createTempDirectory("dims").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "sub-discipline.csv").toPath,
+      "# comment\nweather/aviation/metar\n")
+    System.setProperty(Dims.DimsDirProperty, dir.getAbsolutePath)
+    try {
+      val t = Dims.subDisciplineTable()
+      assert(t == Some(Set("weather", "weather/aviation",
+        "weather/aviation/metar")))
+    } finally System.clearProperty(Dims.DimsDirProperty)
+    assert(Dims.subDisciplineTable().isEmpty) // no override -> None
+  }
+
   test("dims override directory replaces a vendored table (deploy hook)") {
     val dir = java.nio.file.Files.createTempDirectory("dims").toFile
     val f = new java.io.File(dir, "data-policy.csv")
