@@ -28,6 +28,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic engine-side tables dumped ONCE per JVM to a fixed local
+    * path, so the DuckDB oracle can read the SAME parquet bytes the Spark
+    * query read (the records tables are synthesized in memory and have no
+    * sf-dir file otherwise). The generator is seed-free deterministic, so
+    * re-writing on a fresh JVM reproduces identical content. */
+  private object OracleDump {
+    val dir = "/tmp/graft_oracle_tables"
+    /** the read_parquet glob the oracle SQL uses for table `name` */
+    def glob(name: String): String = s"$dir/$name.parquet/*.parquet"
+    private val written = scala.collection.mutable.Set[String]()
+    def table(s: SparkSession, name: String)(mk: => DataFrame): DataFrame =
+      synchronized {
+        val path = s"$dir/$name.parquet"
+        if (!written.contains(name)) {
+          mk.coalesce(1).write.mode("overwrite").parquet(path)
+          written += name
+        }
+        s.read.parquet(path)
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- WCMP2 constraint suite (fixture-seeded; ScalaTest-golden) ------
     "wcmp_violations" -> ((s, _) =>
@@ -56,7 +77,13 @@ object SparkEntry {
         java.nio.file.Files.writeString(f, RecordTable.fixtureContent(n))
         f.toUri.toString
       } :+ dir.resolve("does-not-exist.json").toUri.toString
-      val fetched = graft.sources.UrlSource.fetchTable(s, urls)
+      // materialize the (11-row) fetch eagerly so the temp dir can be
+      // removed before the lazy validation frame is handed to the driver
+      val fetchedLazy = graft.sources.UrlSource.fetchTable(s, urls)
+      val fetched = s.createDataFrame(
+        java.util.Arrays.asList(fetchedLazy.collect(): _*), fetchedLazy.schema)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
       Validator.validate(fetched.drop("fetch_error"))
         .select(col("path"), col("parse_ok"),
           col("ets_summary.FAILED").as("failed"))
@@ -329,17 +356,29 @@ object SparkEntry {
     "q_records_colstats_sketch" -> ((s, _) =>
       DatasetRules.columnStatsSketch(RecordTable.synthesize(s, 2000))
         .orderBy("lang")),
+    // the three below read their records input back from a parquet dump
+    // (OracleDump) so DuckDB can cross-check the exact same bytes
     "q_records_uniqueness" -> ((s, _) => {
-      val base = RecordTable.synthesize(s, 500)
-      DatasetRules.uniquenessViolations(base.unionAll(base.limit(7)))
-        .orderBy("path")
+      val dup = OracleDump.table(s, "records_dup") {
+        val base = RecordTable.synthesize(s, 500)
+        base.unionAll(base.limit(7))
+      }
+      DatasetRules.uniquenessViolations(dup).orderBy("path")
     }),
-    "q_records_referential" -> ((s, _) =>
-      DatasetRules.referentialViolations(RecordTable.fixtures(s))
-        .orderBy("path")),
-    "q_records_drift" -> ((s, _) =>
-      DatasetRules.langDrift(RecordTable.synthesize(s, 2000))
-        .select(col("lang"), col("drifted")).orderBy("lang"))
+    "q_records_referential" -> ((s, _) => {
+      val fix = OracleDump.table(s, "records_fix")(RecordTable.fixtures(s))
+      // the centre dim rides along for the oracle's NOT IN
+      OracleDump.table(s, "dim_centre")(
+        graft.dims.Dims.dimDf(s, "centre", graft.dims.Dims.centreIds))
+      DatasetRules.referentialViolations(fix).orderBy("path")
+    }),
+    "q_records_drift" -> ((s, _) => {
+      val recs = OracleDump.table(s, "records")(
+        RecordTable.synthesize(s, 2000))
+      DatasetRules.langDrift(recs)
+        .select(col("lang"), bround(col("psi"), 6).as("psi"), col("drifted"))
+        .orderBy("lang")
+    })
   )
 
   /** DuckDB-runnable ANSI SQL twins; column names/aliases match the Spark
@@ -563,6 +602,46 @@ object SparkEntry {
         |  CAST(sum(ntoks_i) AS BIGINT) AS tokens_ws,
         |  CAST(sum(bpe) AS BIGINT) AS tokens_bpe
         | FROM scored GROUP BY lang""".stripMargin,
+    "q_records_uniqueness" ->
+      s"""SELECT repo, path, "commit",
+        | CAST(NULL AS VARCHAR) AS lang,
+        | 'uniqueness:(repo,path,commit)' AS rule_id,
+        | 'ERROR' AS severity,
+        | 'duplicate identity x' || CAST(cnt AS VARCHAR) AS diagnostic
+        | FROM (SELECT repo, path, "commit", count(*) AS cnt
+        |   FROM read_parquet('${OracleDump.glob("records_dup")}')
+        |   GROUP BY 1, 2, 3 HAVING count(*) > 1)""".stripMargin,
+    "q_records_referential" ->
+      s"""WITH w AS (SELECT repo, path, "commit", lang,
+        |   CASE WHEN json_valid(content) THEN
+        |     string_split(json_extract_string(content, '$$.id'), ':')[4]
+        |   END AS centre_id
+        |  FROM read_parquet('${OracleDump.glob("records_fix")}'))
+        | SELECT repo, path, "commit", lang,
+        |  'referential:centre_id' AS rule_id, 'ERROR' AS severity,
+        |  'unknown centre_id ' || centre_id AS diagnostic
+        | FROM w WHERE centre_id IS NOT NULL
+        |  AND NOT ends_with(centre_id, '-test')
+        |  AND centre_id NOT IN (SELECT centre
+        |    FROM read_parquet('${OracleDump.glob("dim_centre")}'))""".stripMargin,
+    "q_records_drift" ->
+      s"""WITH h AS (SELECT lang,
+        |   CASE WHEN length(content) < 0 THEN 0
+        |        WHEN length(content) >= 20000 THEN 21
+        |        ELSE CAST(floor(length(content) / 1000.0) AS INTEGER) + 1
+        |   END AS bucket, count(*) AS cnt
+        |  FROM read_parquet('${OracleDump.glob("records")}') GROUP BY 1, 2),
+        | g AS (SELECT bucket, CAST(sum(cnt) AS DOUBLE) /
+        |     (SELECT sum(cnt) FROM h) AS p_global FROM h GROUP BY bucket),
+        | lp AS (SELECT lang, bucket, CAST(cnt AS DOUBLE) /
+        |     sum(cnt) OVER (PARTITION BY lang) AS p_lang FROM h),
+        | j AS (SELECT lang, p_lang, p_global FROM lp JOIN g USING (bucket))
+        | SELECT lang,
+        |  round(sum((p_lang - p_global) *
+        |    ln((p_lang + 1e-9) / (p_global + 1e-9))), 6) AS psi,
+        |  (sum((p_lang - p_global) *
+        |    ln((p_lang + 1e-9) / (p_global + 1e-9))) >= 0.2) AS drifted
+        | FROM j GROUP BY lang""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
