@@ -53,12 +53,10 @@ object Main {
     opts.get("one").foreach { path =>
       val json = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val (ets, kpi) = Reports.validateOne(spark, json, runDt,
+      val (ets, kpi, code) = Reports.validateOneWithCode(spark, json, runDt,
         failOnEts = failOnEts, kpi = opts.get("kpi"))
       println(ets)
       kpi.foreach(println)
-      val code = "\"FAILED\":(\\d+)".r.findFirstMatchIn(ets)
-        .map(_.group(1).toInt).getOrElse(0)
       spark.stop()
       sys.exit(math.min(code, 255))
     }

@@ -122,6 +122,21 @@ object Reports {
                   probe: graft.catalog.LinkProbe = graft.catalog.OfflineLinkProbe,
                   failOnEts: Boolean = true,
                   kpi: Option[String] = None): (String, Option[String]) = {
+    val (ets, kpiRep, _) =
+      validateOneWithCode(spark, json, runDatetime, probe, failOnEts, kpi)
+    (ets, kpiRep)
+  }
+
+  /** [[validateOne]] plus the record's ETS FAILED count — the CLI exit
+    * code (`/root/reference/pywcmp/ets.py:83-84`), taken from the computed
+    * `ets_summary` rather than re-parsed out of the serialized report
+    * (report formatting must not be able to change the exit code). */
+  def validateOneWithCode(spark: org.apache.spark.sql.SparkSession,
+                  json: String,
+                  runDatetime: String = "1970-01-01T00:00:00Z",
+                  probe: graft.catalog.LinkProbe = graft.catalog.OfflineLinkProbe,
+                  failOnEts: Boolean = true,
+                  kpi: Option[String] = None): (String, Option[String], Int) = {
     import spark.implicits._
     val df = Seq(("adhoc", "record.json", "0" * 40, "und", json))
       .toDF("repo", "path", "commit", "lang", "content")
@@ -130,11 +145,12 @@ object Reports {
     val row = selected.select(col("parse_ok"),
       etsReportJson(runDatetime).as("ets"),
       when(col("kpi_summary").isNotNull, kpiReportJson(runDatetime))
-        .as("kpi")).head()
+        .as("kpi"),
+      coalesce(col("ets_summary.FAILED"), lit(0)).as("failed")).head()
     if (!row.getBoolean(0))
       throw new IllegalArgumentException(
         "Encoding error: record is not valid JSON")
-    (row.getString(1), Option(row.getString(2)))
+    (row.getString(1), Option(row.getString(2)), row.getInt(3))
   }
 
   /** Driver exit code semantics: the reference CLI exits with the FAILED
