@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata, plus decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing — schema, batch shape, partition-friendly
-  * narrow projections, typed metadata structs — is real and tested. The
-  * actual media DECODE IS A STUB (`decodeStub`): this container has no
-  * image/audio codecs, so decode parses a deterministic fake header
+  * narrow projections, typed metadata structs — is real and tested.
+  * CONTAINER metadata is decoded for real across all three modalities:
+  * images ([[decodeImage]]: PNG/GIF/BMP fixed layouts + JPEG SOF walk),
+  * audio ([[decodeWav]]: RIFF chunk walk) and video ([[decodeMp4]]:
+  * ISO-BMFF box walk). What remains a STUB (`decodeStub`/
+  * [[featurizeStub]]) is sample/pixel DATA decode — this container has
+  * no codec libraries — exercised through a deterministic fake container
   * embedded by [[attachFakeMedia]]. In production the stub body is
   * replaced by a real codec behind the same column signature
   * (binary -> struct), or by an Arrow-batched `mapPartitions` against a
@@ -114,9 +118,23 @@ object Multimodal {
       .otherwise(lit(null).cast(mediaMetaType))
   }
 
-  /** Decode dispatch: real header parsers first ([[decodeImage]]), then
-    * the fake-container stub — one `binary -> media_meta` column, the
-    * production seam where an Arrow-batched codec would plug in. */
+  /** REAL audio-container decode: WAV/RIFF chunk walk (channels, sample
+    * rate, bit depth, sample count, duration) via the codegen'd
+    * [[graft.expressions.WavMeta]] expression. Null for non-WAV. */
+  def decodeWav(media: Column): Column =
+    graft.expressions.WavMeta.wavMeta(media)
+
+  /** REAL video-container decode: MP4/ISO-BMFF box walk (track pixel
+    * dimensions, movie duration, track count) via the codegen'd
+    * [[graft.expressions.Mp4Meta]] expression. Null for non-MP4. */
+  def decodeMp4(media: Column): Column =
+    graft.expressions.Mp4Meta.mp4Meta(media)
+
+  /** Decode dispatch: real image header parsers first ([[decodeImage]];
+    * WAV/MP4 have their own typed metadata shapes — [[decodeWav]] /
+    * [[decodeMp4]]), then the fake-container stub — one
+    * `binary -> media_meta` column, the production seam where an
+    * Arrow-batched codec would plug in. */
   def decode(media: Column): Column =
     coalesce(decodeImage(media), decodeStub(media))
 

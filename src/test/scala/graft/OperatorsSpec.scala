@@ -368,4 +368,84 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getString(0) == "jpeg")
     assert(got.getInt(1) == 1 && got.getInt(2) == 1)
   }
+
+  private def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  test("multimodal decode: REAL WAV containers — RIFF chunk walk finds " +
+       "fmt/data past foreign chunks; n_samples null without data chunk") {
+    // canonical PCM WAV: 2 ch, 44100 Hz, 16-bit, data declares 44100
+    // samples (1000 ms); payload truncated after the header (metadata scan)
+    val fmtChunk = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16)
+    val dataChunk = "data".getBytes ++ le32(176400)
+    val wav = "RIFF".getBytes ++ le32(36 + 176400) ++ "WAVE".getBytes ++
+      fmtChunk ++ dataChunk
+    // a LIST chunk precedes fmt — the walk must skip it (odd size: padded)
+    val wavList = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("LIST".getBytes ++ le32(5) ++ "INFOx ".getBytes) ++
+      fmtChunk ++ dataChunk
+    val wavNoData = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ fmtChunk
+    val junk = "RIFFnot actually wave".getBytes
+
+    val rows = Seq(("wav", wav), ("wavList", wavList),
+        ("wavNoData", wavNoData), ("junk", junk))
+      .toDF("name", "media")
+      .withColumn("m", Multimodal.decodeWav(col("media")))
+      .select(col("name"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.n_samples"), col("m.duration_ms"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("wav", "wavList")) {
+      val r = rows(k)
+      assert(r.getInt(1) == 2 && r.getInt(2) == 44100 && r.getInt(3) == 16)
+      assert(r.getLong(4) == 44100L && r.getLong(5) == 1000L)
+    }
+    val nd = rows("wavNoData")
+    assert(nd.getInt(2) == 44100 && nd.isNullAt(4) && nd.isNullAt(5))
+    assert(rows("junk").isNullAt(1) && rows("junk").isNullAt(2))
+  }
+
+  test("multimodal decode: REAL MP4 containers — box walk to mvhd " +
+       "duration and first visual tkhd; v1 full boxes; audio-only null w/h") {
+    def box(typ: String, payload: Array[Byte]) =
+      be32(8 + payload.length) ++ typ.getBytes ++ payload
+    // mvhd v0: timescale 1000, duration 5000 -> 5000 ms
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: width/height 16.16 fixed at payload offsets 76/80
+    val tkhdV = box("tkhd", Array[Byte](0, 0, 0, 0) ++
+      Array.fill[Byte](72)(0) ++ be32(1920 << 16) ++ be32(1080 << 16))
+    val tkhdA = box("tkhd", Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](80)(0))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    val mp4 = ftyp ++ box("moov", mvhd ++ box("trak", tkhdV) ++
+      box("trak", tkhdA))
+    // v1 variant: 64-bit times shift width/height to offsets 88/92
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32(600) ++ be32(0) ++ be32(3000) ++
+      Array.fill[Byte](80)(0))
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](84)(0) ++ be32(640 << 16) ++ be32(480 << 16))
+    val mp4V1 = ftyp ++ box("moov", mvhdV1 ++ box("trak", tkhdV1))
+    val audioOnly = ftyp ++ box("moov", mvhd ++ box("trak", tkhdA))
+    val junk = be32(16) ++ "mdat".getBytes ++ Array.fill[Byte](8)(0)
+
+    val rows = Seq(("mp4", mp4), ("mp4V1", mp4V1),
+        ("audioOnly", audioOnly), ("junk", junk))
+      .toDF("name", "media")
+      .withColumn("m", Multimodal.decodeMp4(col("media")))
+      .select(col("name"), col("m.width"), col("m.height"),
+        col("m.duration_ms"), col("m.n_tracks"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = rows("mp4")
+    assert(m.getInt(1) == 1920 && m.getInt(2) == 1080)
+    assert(m.getLong(3) == 5000L && m.getInt(4) == 2)
+    val v1 = rows("mp4V1")
+    assert(v1.getInt(1) == 640 && v1.getInt(2) == 480)
+    assert(v1.getLong(3) == 5000L && v1.getInt(4) == 1) // 3000/600 ticks*1000
+    val ao = rows("audioOnly")
+    assert(ao.isNullAt(1) && ao.isNullAt(2) && ao.getInt(4) == 1)
+    assert(rows("junk").isNullAt(3) && rows("junk").isNullAt(4))
+  }
 }
