@@ -91,6 +91,9 @@ object Dedup {
     * first — at real scale (splits >= cores) this is a no-op, so the
     * shuffle is only ever paid on inputs small enough not to care. */
   private[operators] def parallelize(df: DataFrame): DataFrame = {
+    // a streaming frame can't be probed (no executable physical RDD);
+    // micro-batch parallelism is the source's concern, not this guard's
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // split count read off the internal physical RDD: `df.rdd` would
     // additionally plan a row-deserializing conversion DAG per call just
@@ -187,7 +190,7 @@ object Dedup {
     * shingle array is materialized behind a Generate barrier first (same
     * plan-shape rule as Validator.validate: never hand an expensive
     * expression to a higher-order lambda). */
-  private[operators] def minhashBandRows(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def minhashBandRows(df: DataFrame, textCol: String, idCol: String,
                               k: Int, bands: Int, shingleN: Int): DataFrame = {
     val r = k / bands
     // two Generate barriers: tokens materialized once per row, then

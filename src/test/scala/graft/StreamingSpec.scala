@@ -98,4 +98,74 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.toSeq == Seq(("always-bad", 3)))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first occurrence per content hash, " +
+       "duplicates dropped across micro-batches within the watermark") {
+    import graft.streaming.StreamingDedup
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    def write(rows: Seq[(String, String)], ts: String): Unit =
+      rows.zipWithIndex.map { case ((path, c), i) =>
+        ("r", path, s"c$i", "en", c, java.sql.Timestamp.valueOf(ts))
+      }.toDF("repo", "path", "commit", "lang", "content", "event_time")
+        .write.mode("append").parquet(dir)
+
+    write(Seq(("a.json", """{"id":"A"}"""), ("b.json", """{"id":"B"}"""),
+      ("a2.json", """{"id":"A"}""")), "2026-08-16 10:00:00")
+    val stream = spark.readStream
+      .schema(StreamingValidator.inputSchema).parquet(dir)
+    val q = StreamingDedup.exactDedupStream(stream, "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2) // A, B
+      // second batch: another copy of A (in-watermark -> dropped) + new C
+      write(Seq(("a3.json", """{"id":"A"}"""), ("c.json", """{"id":"C"}""")),
+        "2026-08-16 10:01:00")
+      q.processAllAvailable()
+      val contents = spark.table("dedup_stream")
+        .select("content").as[String].collect().sorted
+      assert(contents.length == 3)
+      assert(contents.count(_.contains("\"A\"")) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup candidates: stateful LSH buckets pair later " +
+       "docs with the bucket owner across micro-batches") {
+    import graft.streaming.StreamingDedup
+    val dir = Files.createTempDirectory("stream-neardup").toString
+    val textA = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank at dawn"
+    val textB = "completely different content about distributed query " +
+      "engines shuffling partitioned columnar data"
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+
+    write(Seq(("d1", textA), ("d2", textB)))
+    val stream = spark.readStream
+      .schema("doc_id string, text string").parquet(dir)
+    // stateTtl="" -> NoTimeout: a registered processing-time timeout
+    // would run continuous empty batches and starve processAllAvailable
+    val q = StreamingDedup
+      .nearDupCandidates(stream, k = 32, bands = 8, stateTtl = "")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("neardup_stream").count() == 0) // owners only
+      // d3 = exact text of d1 -> collides in every band with d1's buckets;
+      // d4 unrelated
+      write(Seq(("d3", textA), ("d4", "unrelated fresh text about alpine " +
+        "meadows blooming under late spring snow melt")))
+      q.processAllAvailable()
+      val pairs = StreamingDedup.candidatePairs(
+        spark.table("neardup_stream")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("d1", "d3")))
+      // the per-band emissions all point at the same owner
+      val owners = spark.table("neardup_stream")
+        .select("candidate_of").distinct().as[String].collect().toSeq
+      assert(owners == Seq("d1"))
+    } finally q.stop()
+  }
 }
