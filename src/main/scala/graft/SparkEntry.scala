@@ -25,6 +25,27 @@ object SparkEntry {
     Validator.violations(Validator.validate(records))
   }
 
+  // crafted canonical media containers for the q_multimodal real-decode
+  // rows (same layouts as the OperatorsSpec fixtures)
+  private def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def box(typ: String, p: Array[Byte]) =
+    be32(8 + p.length) ++ typ.getBytes ++ p
+  private lazy val wavSample: Array[Byte] =
+    "RIFF".getBytes ++ le32(36 + 176400) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(176400) ++ le16(4) ++ le16(16)) ++
+      ("data".getBytes ++ le32(176400))
+  private lazy val mp4Sample: Array[Byte] =
+    box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov",
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(1000) ++ be32(5000) ++ Array.fill[Byte](80)(0)) ++
+        box("trak", box("tkhd", Array[Byte](0, 0, 0, 0) ++
+          Array.fill[Byte](72)(0) ++ be32(1920 << 16) ++ be32(1080 << 16))))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -341,13 +362,28 @@ object SparkEntry {
           sum("n_tokens_ws").as("tokens_ws"),
           sum("n_tokens_bpe").as("tokens_bpe"))
         .orderBy("lang")),
-    "q_multimodal" -> ((s, dir) =>
-      Multimodal.pipeline(t(s, dir, "documents"))
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val fake = Multimodal.pipeline(t(s, dir, "documents"))
         .groupBy(col("media_meta.format").as("format"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("decode_ok"), 1).otherwise(0)).as("n_decoded"),
           sum(size(col("sampled_frames"))).as("n_frames_sampled"))
-        .orderBy("format")),
+      // plus two REAL containers through the native decoders: a canonical
+      // PCM WAV (44.1 kHz stereo 16-bit, 1 s) and a minimal MP4 (1920x1080
+      // visual track, 5 s movie) — n_decoded asserts the decoded fields
+      val real = Seq(("mp4", mp4Sample), ("wav", wavSample))
+        .toDF("format", "media")
+        .select(col("format"), lit(1L).as("n"),
+          when(col("format") === "wav",
+            (Multimodal.decodeWav(col("media")).getField("sample_rate")
+              === 44100).cast("long"))
+          .otherwise(
+            (Multimodal.decodeMp4(col("media")).getField("width")
+              === 1920).cast("long")).as("n_decoded"),
+          lit(0L).as("n_frames_sampled"))
+      fake.unionAll(real).orderBy("format")
+    }),
 
     // ---- dataset-level constraint suite over the records table ----------
     "q_records_colstats" -> ((s, _) =>
