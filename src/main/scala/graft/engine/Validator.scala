@@ -79,18 +79,7 @@ object Validator {
       // result struct references it four times — see SchemaGate)
       graft.catalog.SchemaGate.errors(col("_p.var"), col("_p.rec"),
         col("_p.root_keys"), col("_p.props_keys"), col("_time"),
-        col("_geom"), graft.catalog.GateItemChannels(
-          // variant channels sliced from the MATERIALIZED var attribute:
-          // binary-variant navigations, no re-parse (a try_parse_json per
-          // channel here would re-parse the whole document — measured 2x
-          // on the full-catalog bench; subexpression elimination does not
-          // reach through the Generate barrier)
-          linksVar = try_variant_get(col("_p.var"), "$.links",
-            "array<variant>"),
-          contactsVar = try_variant_get(col("_p.var"),
-            "$.properties.contacts", "array<variant>"),
-          themesVar = try_variant_get(col("_p.var"),
-            "$.properties.themes", "array<variant>"))).as("gate_errors"))
+        col("_geom")).as("gate_errors"))
 
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
