@@ -13,26 +13,27 @@ import org.apache.spark.sql.types.StringType
   *
   * Here the schema's required / type / enum / minItems constraints are
   * compiled into Catalyst predicates that RE-USE the parse artifacts the
-  * engine already materializes per row — this keeps the gate's marginal
-  * cost to a few percent of engine throughput (naive per-check
-  * `variant_get` formulations measured 40-45%):
+  * engine already materializes per row — every gate channel below comes
+  * from the single-tokenize [[graft.expressions.JsonFacts]] kernel or the
+  * already-parsed `rec` struct, so the gate adds ZERO extra scans of the
+  * document text (naive per-check `variant_get` formulations measured
+  * 40-45% of engine throughput; the earlier multi-artifact formulation —
+  * json_object_keys x2 + json_tuple + variant probes — measured ~60% of
+  * hot-path CPU in redundant tokenization):
   *
-  *  - presence: `json_object_keys` of the root (one extra tokenize scan)
-  *    and of `$.properties` (already materialized as `props_keys`) —
-  *    the missing-vs-null channel `from_json` cannot provide;
+  *  - presence: the kernel's `root_keys` / `props_keys` arrays — the
+  *    missing-vs-null channel `from_json` cannot provide;
   *  - container types + minItems: null-ness and `size` of the already-
   *    parsed `rec` struct fields (`from_json` PERMISSIVE nulls a field on
   *    type mismatch, and JSON-Schema emits the same "is not of type"
   *    error for explicit null, so the two collapsing is CORRECT here);
-  *  - nullable objects (`time`, `geometry`): first char of the raw
-  *    `json_tuple` extract distinguishes explicit null (SQL NULL) from a
-  *    mistyped scalar/array (json_tuple erases only string quoting, so
-  *    '{' reliably marks an object);
+  *  - nullable objects (`time`, `geometry`): first char of the kernel's
+  *    raw value slice distinguishes explicit null (SQL NULL) from a
+  *    mistyped scalar/array ('{' reliably marks an object);
   *  - string-typed members (id, title, description, type, created): the
   *    only checks that need true JSON types (Hive-style JSON functions
-  *    and lenient `from_json` both erase string-vs-number), probed with
-  *    one `schema_of_variant(try_variant_get(...))` each over the
-  *    record's variant — scalars only, so no subtree serialization.
+  *    and lenient `from_json` both erase string-vs-number) — the
+  *    kernel's per-member is-string tags.
   *
   * Coverage: the root-level and properties-level constraints of the WCMP2
   * record schema (which profiles OGC API - Records `recordGeoJSON`):
@@ -53,12 +54,12 @@ import org.apache.spark.sql.types.StringType
   *    required string `id` (OGC API - Records `theme.yaml` requires
   *    concepts+scheme; concepts items require `id`)
   *
-  * Per-item presence/type run as ONE native kernel walk of the record's
-  * binary variant ([[graft.expressions.Wcmp2ItemErrors]]; missing member
-  * = absent field, explicit JSON null = VOID variant — the same channel
-  * the earlier `array<variant>`-slice formulation used, whose interpreted
-  * per-item lambdas measured ~30% of engine throughput at compute-bound
-  * thread counts). Error strings follow the json_path convention (0-based
+  * Per-item presence/type checks are emitted by the same facts-kernel
+  * tokenize pass (missing member vs explicit JSON null distinguished
+  * during the walk — the channel the earlier `array<variant>`-slice
+  * formulation provided, whose interpreted per-item lambdas measured
+  * ~30% of engine throughput at compute-bound thread counts). Error
+  * strings follow the json_path convention (0-based
   * indices like jsonschema); the message text is a close paraphrase of
   * jsonschema's (the exact Python repr of offending values is not
   * reproduced, and an item failing anyOf gets the generic "is not valid
@@ -73,22 +74,31 @@ object SchemaGate {
   /** All schema errors for one record as `array<string>`, in document
     * order of the compiled constraints.
     *
-    * @param v        record variant (`try_parse_json`, barrier attribute)
-    * @param rec      `from_json(content, Wcmp2Schema.root)` attribute
-    * @param rootKeys `json_object_keys(content)` attribute
-    * @param propsKeys `json_object_keys($.properties raw)` attribute
-    * @param timeRaw  raw `$.time` json_tuple extract attribute
-    * @param geomRaw  raw `$.geometry` json_tuple extract attribute
+    * @param facts [[graft.expressions.JsonFacts]] struct attribute (the
+    *              single-tokenize kernel: key channels, raw time/geometry
+    *              slices, string-type tags, per-item diagnostics)
+    * @param rec   `from_json(content, Wcmp2Schema.root)` attribute
     */
-  def errors(v: Column, rec: Column, rootKeys: Column, propsKeys: Column,
-             timeRaw: Column, geomRaw: Column): Column = {
+  def errors(facts: Column, rec: Column): Column = {
+    val rootKeys = facts.getField("root_keys")
+    val propsKeys = facts.getField("props_keys")
+    val timeRaw = facts.getField("time_raw")
+    val geomRaw = facts.getField("geom_raw")
     def hasRoot(m: String): Column =
       coalesce(array_contains(rootKeys, m), lit(false))
     def hasProp(m: String): Column =
       coalesce(array_contains(propsKeys, m), lit(false))
     val propsOk = propsKeys.isNotNull
-    def vstr(path: String): Column =
-      schema_of_variant(try_variant_get(v, path, "variant")) === "STRING"
+    // present-with-JSON-string-value tags from the facts kernel (the only
+    // checks needing true JSON types; previously one schema_of_variant
+    // probe each over the record variant)
+    val strTag = Map(
+      "id" -> facts.getField("id_str"),
+      "title" -> facts.getField("title_str"),
+      "description" -> facts.getField("desc_str"),
+      "type" -> facts.getField("type_str"),
+      "created" -> facts.getField("created_str"))
+    def vstr(m: String): Column = strTag(m)
     val props = rec.getField("properties")
 
     def reqRoot(m: String): (Column, Column) =
@@ -97,10 +107,10 @@ object SchemaGate {
       (propsOk && !hasProp(m),
         lit(s"$$.properties: '$m' is a required property"))
     def strRoot(m: String): (Column, Column) =
-      (hasRoot(m) && !vstr(s"$$.$m"),
+      (hasRoot(m) && !vstr(m),
         lit(s"$$.$m: is not of type 'string'"))
     def strProp(m: String): (Column, Column) =
-      (propsOk && hasProp(m) && !vstr(s"$$.properties.$m"),
+      (propsOk && hasProp(m) && !vstr(m),
         lit(s"$$.properties.$m: is not of type 'string'"))
     def nullableObj(m: String, raw: Column): (Column, Column) =
       (hasRoot(m) && raw.isNotNull && !raw.startsWith("{"),
@@ -144,10 +154,9 @@ object SchemaGate {
       when(coalesce(cond, lit(false)), err)
     }: _*)
 
-    // ---- per-item subschemas: one native walk of the binary variant ----
+    // ---- per-item subschemas: emitted by the same facts kernel pass ----
     val itemErrs = coalesce(
-      graft.expressions.Wcmp2ItemErrors.wcmp2ItemErrors(v),
-      typedlit(Seq.empty[String]))
+      facts.getField("item_errors"), typedlit(Seq.empty[String]))
 
     array_compact(concat(rootErrs, itemErrs))
   }

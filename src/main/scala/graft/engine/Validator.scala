@@ -34,35 +34,30 @@ object Validator {
     // happily re-inlines expensive expressions into every downstream
     // reference (measured: 33 JsonToStructs copies, i.e. 33 full JSON
     // parses per row, ~25x slower); a Generate node is a boundary it
-    // cannot merge through, so `from_json` runs exactly once per row while
+    // cannot merge through, so each parse runs exactly once per row while
     // deterministic predicates (e.g. partition pruning on `lang`) still
     // push through to the scan.
-    // one json_tuple Generate extracts both raw sub-documents in a single
-    // scan of the text (get_json_object would re-scan + re-serialize per
-    // call); parse_ok costs one more parse via try_parse_json (returns
-    // null on malformed input — `json.loads` semantics).
+    // EXACTLY TWO parses of `content` per row: `from_json` for the typed
+    // struct, and the [[graft.expressions.JsonFacts]] kernel — ONE
+    // streaming tokenize producing parse_ok (json.loads strictness), the
+    // missing-vs-null key channels, raw geometry/time slices, the five
+    // true-JSON-type tags, and the per-item subschema diagnostics.
+    // (Previously these were five separate tokenizations — try_parse_json
+    // building a whole-document variant binary, json_tuple,
+    // json_object_keys x2 — measured ~60% of hot-path CPU.)
     val parsedStruct = struct(
       from_json(col("content"), Wcmp2Schema.root).as("rec"),
-      col("_geom").as("geometry"),
-      GeoFunctions.positions(col("_geom")).as("geo_positions"),
-      json_object_keys(col("_props")).as("props_keys"),
-      // root-level presence channel for the schema gate (missing != null)
-      json_object_keys(col("content")).as("root_keys"),
-      // parse_ok as its OWN boolean field: paths that never read the gate
-      // (partition verdicts, parse/ets violation branches) prune down to
-      // this bool and the variant binary never materializes for them;
-      // codegen subexpression elimination shares the parse with `var`
-      // when both are needed
-      try_parse_json(col("content")).isNotNull.as("parse_ok"),
-      // the VARIANT value: the typed-JSON channel for the schema gate's
-      // string-type checks (null on malformed input — json.loads
-      // semantics)
-      try_parse_json(col("content")).as("var"))
+      graft.expressions.JsonFacts.jsonFacts(col("content")).as("facts"))
     // second barrier: per-row kernels that multiple rule expressions
     // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
     // words/stripped x4/x4, K4 previews x3) — materialized ONCE each.
-    val rc0 = RecordCols(col("content"), col("_p.rec"), col("_p.geometry"),
-      col("_p.geo_positions"), col("_p.props_keys"))
+    // rc0's geoPositions is the raw expression (safe fallback; no
+    // barrier-2 kernel references it) — the final rc swaps in the
+    // barrier-2 materialized attribute
+    val rc0 = RecordCols(col("content"), col("_p.rec"),
+      col("_p.facts.geom_raw"),
+      GeoFunctions.positions(col("_p.facts.geom_raw")),
+      col("_p.facts.props_keys"))
     val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
     val titleCol = col("_p.rec.properties.title")
     val kernels = struct(
@@ -75,22 +70,21 @@ object Validator {
       KpiRules.httpLinkPool(rc0).as("http_links"),
       filter(col("_p.rec.links"),
         l => l.getField("rel") === "preview").as("previews"),
+      // geometry position list parsed once from the (small) raw geometry
+      // slice — the only re-parse of any part of the document
+      GeoFunctions.positions(col("_p.facts.geom_raw")).as("geo_positions"),
       // schema-gate errors array, materialized ONCE (the validation
       // result struct references it four times — see SchemaGate)
-      graft.catalog.SchemaGate.errors(col("_p.var"), col("_p.rec"),
-        col("_p.root_keys"), col("_p.props_keys"), col("_time"),
-        col("_geom")).as("gate_errors"))
+      graft.catalog.SchemaGate.errors(col("_p.facts"), col("_p.rec"))
+        .as("gate_errors"))
 
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
-      .select(col("*"),
-        json_tuple(col("content"), "geometry", "properties", "time"))
-      .withColumnRenamed("c0", "_geom").withColumnRenamed("c1", "_props")
-      .withColumnRenamed("c2", "_time")
       .select(col("*"), explode(array(parsedStruct)).as("_p"))
       .select(col("*"), explode(array(kernels)).as("_k"))
 
     val rc = rc0.copy(
+      geoPositions = col("_k.geo_positions"),
       titleMisspelledOpt = Some(col("_k.title_mis")),
       descMisspelledOpt = Some(col("_k.desc_mis")),
       pre = Map(
@@ -102,9 +96,11 @@ object Validator {
     // `json.loads` failure => RuntimeError in the reference
     // (`/root/reference/pywcmp/util.py:203-219`); here: a parse_error row.
     // `from_json` PERMISSIVE yields an all-null struct (not null) on
-    // malformed input, so validity was probed via try_parse_json in the
-    // barrier; referenced here as an attribute (it guards 3 columns).
-    val parseOk = col("_p.parse_ok")
+    // malformed input, so validity comes from the facts kernel's strict
+    // whole-document probe; referenced here as an attribute (guards 3
+    // columns). A NULL `content` (e.g. a failed URL fetch row) propagates
+    // NULL through the kernel — coalesce restores `parse_ok = false`.
+    val parseOk = coalesce(col("_p.facts.parse_ok"), lit(false))
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
