@@ -12,28 +12,22 @@ import org.apache.spark.sql.types.StringType
   * `f'{len(errors)} error(s)'` and the errors array (`ets.py:139-146`).
   *
   * Here the schema's required / type / enum / minItems constraints are
-  * compiled into Catalyst predicates that RE-USE the parse artifacts the
-  * engine already materializes per row — every gate channel below comes
-  * from the single-tokenize [[graft.expressions.JsonFacts]] kernel or the
-  * already-parsed `rec` struct, so the gate adds ZERO extra scans of the
-  * document text (naive per-check `variant_get` formulations measured
-  * 40-45% of engine throughput; the earlier multi-artifact formulation —
-  * json_object_keys x2 + json_tuple + variant probes — measured ~60% of
-  * hot-path CPU in redundant tokenization):
-  *
-  *  - presence: the kernel's `root_keys` / `props_keys` arrays — the
-  *    missing-vs-null channel `from_json` cannot provide;
-  *  - container types + minItems: null-ness and `size` of the already-
-  *    parsed `rec` struct fields (`from_json` PERMISSIVE nulls a field on
-  *    type mismatch, and JSON-Schema emits the same "is not of type"
-  *    error for explicit null, so the two collapsing is CORRECT here);
-  *  - nullable objects (`time`, `geometry`): first char of the kernel's
-  *    raw value slice distinguishes explicit null (SQL NULL) from a
-  *    mistyped scalar/array ('{' reliably marks an object);
-  *  - string-typed members (id, title, description, type, created): the
-  *    only checks that need true JSON types (Hive-style JSON functions
-  *    and lenient `from_json` both erase string-vs-number) — the
-  *    kernel's per-member is-string tags.
+  * evaluated during the engine's single-tokenize parse pass
+  * ([[graft.expressions.JsonFacts]]), which emits the complete gate error
+  * array alongside the other parse artifacts — the gate adds ZERO extra
+  * scans of the document text and zero interpreted per-check expression
+  * evaluation. (History, measured at compute-bound thread counts: naive
+  * per-check `variant_get` formulations cost 40-45% of engine
+  * throughput; a compiled Catalyst when-array over shared parse
+  * artifacts held the gate to ~15% but still re-tokenized the document
+  * several ways AND ran interpreted inside the single-evaluation
+  * Generate barrier; the in-kernel walk makes the gate effectively
+  * free.) The kernel preserves the compiled formulation's channels:
+  * missing-vs-null member presence, container types with JSON-Schema's
+  * "is not of type" for explicit null, first-token object-ness for the
+  * nullable `time`/`geometry`, and true JSON string types for the five
+  * string-typed members that Hive-style JSON functions and lenient
+  * `from_json` both erase.
   *
   * Coverage: the root-level and properties-level constraints of the WCMP2
   * record schema (which profiles OGC API - Records `recordGeoJSON`):
@@ -69,97 +63,22 @@ import org.apache.spark.sql.types.StringType
   */
 object SchemaGate {
 
-  private val Core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
-
-  /** All schema errors for one record as `array<string>`, in document
-    * order of the compiled constraints.
+  /** All schema errors for one record as `array<string>`, in the
+    * canonical order of the compiled constraints (root-level members,
+    * properties-level members, per-item subschemas).
     *
-    * @param facts [[graft.expressions.JsonFacts]] struct attribute (the
-    *              single-tokenize kernel: key channels, raw time/geometry
-    *              slices, string-type tags, per-item diagnostics)
-    * @param rec   `from_json(content, Wcmp2Schema.root)` attribute
+    * The entire constraint walk — presence, container types, minItems,
+    * string types, the `Feature` const, the conformsTo core containment,
+    * and the per-item diagnostics — is emitted by the single-tokenize
+    * [[graft.expressions.JsonFacts]] kernel pass; this accessor only
+    * restores the empty-array convention for unparseable records (the
+    * kernel yields NULL facts there, and the gate is read strictly behind
+    * the engine's `parse_ok` guard).
+    *
+    * @param facts [[graft.expressions.JsonFacts]] struct attribute
     */
-  def errors(facts: Column, rec: Column): Column = {
-    val rootKeys = facts.getField("root_keys")
-    val propsKeys = facts.getField("props_keys")
-    val timeRaw = facts.getField("time_raw")
-    val geomRaw = facts.getField("geom_raw")
-    def hasRoot(m: String): Column =
-      coalesce(array_contains(rootKeys, m), lit(false))
-    def hasProp(m: String): Column =
-      coalesce(array_contains(propsKeys, m), lit(false))
-    val propsOk = propsKeys.isNotNull
-    // present-with-JSON-string-value tags from the facts kernel (the only
-    // checks needing true JSON types; previously one schema_of_variant
-    // probe each over the record variant)
-    val strTag = Map(
-      "id" -> facts.getField("id_str"),
-      "title" -> facts.getField("title_str"),
-      "description" -> facts.getField("desc_str"),
-      "type" -> facts.getField("type_str"),
-      "created" -> facts.getField("created_str"))
-    def vstr(m: String): Column = strTag(m)
-    val props = rec.getField("properties")
-
-    def reqRoot(m: String): (Column, Column) =
-      (!hasRoot(m), lit(s"$$: '$m' is a required property"))
-    def reqProp(m: String): (Column, Column) =
-      (propsOk && !hasProp(m),
-        lit(s"$$.properties: '$m' is a required property"))
-    def strRoot(m: String): (Column, Column) =
-      (hasRoot(m) && !vstr(m),
-        lit(s"$$.$m: is not of type 'string'"))
-    def strProp(m: String): (Column, Column) =
-      (propsOk && hasProp(m) && !vstr(m),
-        lit(s"$$.properties.$m: is not of type 'string'"))
-    def nullableObj(m: String, raw: Column): (Column, Column) =
-      (hasRoot(m) && raw.isNotNull && !raw.startsWith("{"),
-        lit(s"$$.$m: is not of type 'object', 'null'"))
-    def arrProp(m: String): Seq[(Column, Column)] = Seq(
-      (propsOk && hasProp(m) && props.getField(m).isNull,
-        lit(s"$$.properties.$m: is not of type 'array'")),
-      (propsOk && hasProp(m) && size(props.getField(m)) < 1,
-        lit(s"$$.properties.$m: [] is too short")))
-
-    val checks: Seq[(Column, Column)] = Seq(
-      reqRoot("id"), strRoot("id"),
-      reqRoot("conformsTo"),
-      (hasRoot("conformsTo") && rec.getField("conformsTo").isNull,
-        lit("$.conformsTo: is not of type 'array'")),
-      (hasRoot("conformsTo") && rec.getField("conformsTo").isNotNull &&
-         !coalesce(array_contains(rec.getField("conformsTo"), Core),
-           lit(false)),
-        lit(s"$$.conformsTo: does not contain '$Core'")),
-      reqRoot("type"),
-      (hasRoot("type") && !(rec.getField("type") <=> "Feature"),
-        lit("$.type: 'Feature' was expected")),
-      reqRoot("time"), nullableObj("time", timeRaw),
-      reqRoot("geometry"), nullableObj("geometry", geomRaw),
-      reqRoot("properties"),
-      (hasRoot("properties") && !propsOk,
-        lit("$.properties: is not of type 'object'")),
-      reqRoot("links"),
-      (hasRoot("links") && rec.getField("links").isNull,
-        lit("$.links: is not of type 'array'")),
-      (hasRoot("links") && size(rec.getField("links")) < 1,
-        lit("$.links: [] is too short")),
-      reqProp("title"), strProp("title"),
-      reqProp("description"), strProp("description"),
-      reqProp("type"), strProp("type"),
-      reqProp("created"), strProp("created"),
-      reqProp("contacts")) ++ arrProp("contacts") ++
-      Seq(reqProp("themes")) ++ arrProp("themes")
-
-    val rootErrs = array(checks.map { case (cond, err) =>
-      when(coalesce(cond, lit(false)), err)
-    }: _*)
-
-    // ---- per-item subschemas: emitted by the same facts kernel pass ----
-    val itemErrs = coalesce(
-      facts.getField("item_errors"), typedlit(Seq.empty[String]))
-
-    array_compact(concat(rootErrs, itemErrs))
-  }
+  def errors(facts: Column): Column =
+    coalesce(facts.getField("gate_errors"), typedlit(Seq.empty[String]))
 
   /** The validation test-result struct `(id, code, message, errors)` —
     * PASSED carries no message/errors, FAILED carries `'{n} error(s)'`

@@ -51,32 +51,27 @@ object Validator {
     // second barrier: per-row kernels that multiple rule expressions
     // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
     // words/stripped x4/x4, K4 previews x3) — materialized ONCE each.
-    // rc0's geoPositions is the raw expression (safe fallback; no
-    // barrier-2 kernel references it) — the final rc swaps in the
-    // barrier-2 materialized attribute
     val rc0 = RecordCols(col("content"), col("_p.rec"),
       col("_p.facts.geom_raw"),
-      GeoFunctions.positions(col("_p.facts.geom_raw")),
+      col("_p.facts.geo_positions"),
       col("_p.facts.props_keys"))
-    val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
     val titleCol = col("_p.rec.properties.title")
     val kernels = struct(
-      graft.functions.Wcmp2Functions.misspelled(titleCol).as("title_mis"),
-      graft.functions.Wcmp2Functions.misspelled(
+      // native kernels (one JVM call each; the declarative formulations
+      // in Wcmp2Functions / KpiRules.httpLinkPool are the documented
+      // reference impls, parity-tested in FunctionsSpec) — everything in
+      // this struct is evaluated interpreted inside the Generate barrier,
+      // so composite HOF/regex chains here are hot-path poison
+      graft.expressions.Misspelled.misspelled(titleCol).as("title_mis"),
+      graft.expressions.Misspelled.misspelled(
         col("_p.rec.properties.description")).as("desc_mis"),
-      graft.functions.Wcmp2Functions.pySplitWs(titleCol).as("title_words"),
-      graft.functions.Wcmp2Functions.pyStrip(
-        regexp_replace(titleCol, acronymRe, "")).as("title_stripped"),
-      KpiRules.httpLinkPool(rc0).as("http_links"),
-      filter(col("_p.rec.links"),
-        l => l.getField("rel") === "preview").as("previews"),
-      // geometry position list parsed once from the (small) raw geometry
-      // slice — the only re-parse of any part of the document
-      GeoFunctions.positions(col("_p.facts.geom_raw")).as("geo_positions"),
-      // schema-gate errors array, materialized ONCE (the validation
-      // result struct references it four times — see SchemaGate)
-      graft.catalog.SchemaGate.errors(col("_p.facts"), col("_p.rec"))
-        .as("gate_errors"))
+      graft.expressions.TitleWords.titleWords(titleCol).as("title_kernel"),
+      graft.expressions.LinkPoolExpr.linkPool(
+        col("_p.rec.links"),
+        col("_p.rec.properties.themes"),
+        col("_p.rec.properties.contacts")).as("http_links"),
+      graft.expressions.Previews.previews(col("_p.rec.links"))
+        .as("previews"))
 
     val withParsed = records
       .withColumn("sha256", sha2(col("content"), 256))
@@ -84,12 +79,11 @@ object Validator {
       .select(col("*"), explode(array(kernels)).as("_k"))
 
     val rc = rc0.copy(
-      geoPositions = col("_k.geo_positions"),
       titleMisspelledOpt = Some(col("_k.title_mis")),
       descMisspelledOpt = Some(col("_k.desc_mis")),
       pre = Map(
-        "title_words" -> col("_k.title_words"),
-        "title_stripped" -> col("_k.title_stripped"),
+        "title_words" -> col("_k.title_kernel.words"),
+        "title_stripped" -> col("_k.title_kernel.stripped"),
         "http_links" -> col("_k.http_links"),
         "previews" -> col("_k.previews")))
 
@@ -104,7 +98,10 @@ object Validator {
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
-    val validation = graft.catalog.SchemaGate.result(col("_k.gate_errors"))
+    // gate errors come straight off the facts kernel struct (a cheap
+    // field access — safe to reference multiple times)
+    val validation = graft.catalog.SchemaGate.result(
+      graft.catalog.SchemaGate.errors(col("_p.facts")))
 
     val kpis = KpiRules.catalog(rc, probe)
     val kpiTests = array(kpis.map(_.result): _*)
