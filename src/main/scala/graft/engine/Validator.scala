@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.catalog.{EtsRules, KpiRules, LinkProbe, OfflineLinkProbe, RecordCols}
-import graft.functions.GeoFunctions
-import graft.model.Wcmp2Schema
 
 /** The constraint-suite engine.
   *
@@ -34,27 +32,26 @@ object Validator {
     // happily re-inlines expensive expressions into every downstream
     // reference (measured: 33 JsonToStructs copies, i.e. 33 full JSON
     // parses per row, ~25x slower); a Generate node is a boundary it
-    // cannot merge through, so each parse runs exactly once per row while
+    // cannot merge through, so the parse runs exactly once per row while
     // deterministic predicates (e.g. partition pruning on `lang`) still
     // push through to the scan.
-    // EXACTLY TWO parses of `content` per row: `from_json` for the typed
-    // struct, and the [[graft.expressions.JsonFacts]] kernel — ONE
-    // streaming tokenize producing parse_ok (json.loads strictness), the
-    // missing-vs-null key channels, raw geometry/time slices, the five
-    // true-JSON-type tags, and the per-item subschema diagnostics.
-    // (Previously these were five separate tokenizations — try_parse_json
-    // building a whole-document variant binary, json_tuple,
-    // json_object_keys x2 — measured ~60% of hot-path CPU.)
-    val parsedStruct = struct(
-      from_json(col("content"), Wcmp2Schema.root).as("rec"),
-      graft.expressions.JsonFacts.jsonFacts(col("content")).as("facts"))
+    // EXACTLY ONE parse of `content` per row: the
+    // [[graft.expressions.JsonFacts]] kernel — one streaming tokenize
+    // producing the from_json-parity `rec` struct, parse_ok (json.loads
+    // strictness), the missing-vs-null key channels, the raw geometry
+    // slice + flattened positions, and the complete schema-gate error
+    // array. (Previously the same text was tokenized up to five ways —
+    // from_json, try_parse_json building a whole-document variant binary,
+    // json_tuple, json_object_keys x2 — measured ~60% of hot-path CPU.)
+    val parsedStruct =
+      graft.expressions.JsonFacts.jsonFacts(col("content"))
     // second barrier: per-row kernels that multiple rule expressions
     // reference (spellcheck x3 refs each, the K5 link pool x3, K1 title
     // words/stripped x4/x4, K4 previews x3) — materialized ONCE each.
     val rc0 = RecordCols(col("content"), col("_p.rec"),
-      col("_p.facts.geom_raw"),
-      col("_p.facts.geo_positions"),
-      col("_p.facts.props_keys"))
+      col("_p.geom_raw"),
+      col("_p.geo_positions"),
+      col("_p.props_keys"))
     val titleCol = col("_p.rec.properties.title")
     val kernels = struct(
       // native kernels (one JVM call each; the declarative formulations
@@ -94,14 +91,14 @@ object Validator {
     // whole-document probe; referenced here as an attribute (guards 3
     // columns). A NULL `content` (e.g. a failed URL fetch row) propagates
     // NULL through the kernel — coalesce restores `parse_ok = false`.
-    val parseOk = coalesce(col("_p.facts.parse_ok"), lit(false))
+    val parseOk = coalesce(col("_p.parse_ok"), lit(false))
 
     val ets = EtsRules.catalog(rc)
     val etsTests = array(ets.map(_.result): _*)
     // gate errors come straight off the facts kernel struct (a cheap
     // field access — safe to reference multiple times)
     val validation = graft.catalog.SchemaGate.result(
-      graft.catalog.SchemaGate.errors(col("_p.facts")))
+      graft.catalog.SchemaGate.errors(col("_p")))
 
     val kpis = KpiRules.catalog(rc, probe)
     val kpiTests = array(kpis.map(_.result): _*)
@@ -116,7 +113,7 @@ object Validator {
       .withColumn("ets_tests", when(parseOk, etsTests))
       .withColumn("validation", when(parseOk, validation))
       .withColumn("kpi_tests", when(parseOk, kpiTests))
-      .drop("_p", "_k", "_geom", "_props", "_time")
+      .drop("_p", "_k")
 
     def countCode(codeVal: String): Column =
       size(filter(col("ets_tests"), t => t.getField("code") === codeVal))

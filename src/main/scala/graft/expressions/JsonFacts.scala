@@ -8,67 +8,81 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass JSON parse facts + schema-gate diagnostics for the WCMP2
-  * engine hot path.
+import graft.model.Wcmp2Schema
+
+/** THE parse kernel: ONE Jackson tokenize of `content` per row yields
+  * EVERY parse artifact the constraint catalog consumes — there is no
+  * other scan of the document text anywhere in the engine.
   *
-  * ONE Jackson tokenize of `content` yields every parse artifact the
-  * constraint catalog needs besides the `from_json` struct itself:
+  *  - `rec`          — the typed [[Wcmp2Schema.root]] struct with
+  *                     `from_json` PERMISSIVE + partial-results parity
+  *                     (verified against `from_json` empirically; see
+  *                     "struct-building semantics" below).
+  *  - `parse_ok`     — strict whole-document validity (`json.loads`
+  *                     semantics, `/root/reference/pywcmp/util.py:203-219`:
+  *                     one complete JSON value, nothing trailing;
+  *                     duplicate object keys accepted last-wins, matching
+  *                     Python).
+  *  - `props_keys`   — `$.properties` member names in document order
+  *                     (`json_object_keys` semantics: null when not an
+  *                     object) — the missing-vs-null presence channel a
+  *                     typed struct cannot provide (E11 data policy, K7
+  *                     externalIds).
+  *  - `geom_raw`     — the raw `$.geometry` value substring (null for
+  *                     missing OR explicit JSON null, like `json_tuple`).
+  *  - `geo_positions`— the flattened coordinate list (shapely-equivalent
+  *                     position list for all six GeoJSON geometry types),
+  *                     collected during the same walk.
+  *  - `gate_errors`  — the COMPLETE schema-validation error array of
+  *                     [[graft.catalog.SchemaGate]]: root- and
+  *                     properties-level required / type / enum / minItems
+  *                     constraints plus the per-item subschemas of
+  *                     `links[i]` / `contacts[i]` / `themes[i]`
+  *                     (`/root/reference/pywcmp/wcmp2/ets.py:116-148`),
+  *                     emitted in canonical constraint order with
+  *                     byte-identical messages.
   *
-  *  - `parse_ok`    — strict whole-document validity (`json.loads`
-  *                    semantics, `/root/reference/pywcmp/util.py:203-219`:
-  *                    one complete JSON value, nothing trailing). Unlike
-  *                    a `try_parse_json` probe this also accepts duplicate
-  *                    object keys (last occurrence wins), matching Python
-  *                    `json.loads`.
-  *  - `props_keys`  — `$.properties` member names in document order
-  *                    (`json_object_keys` semantics: null when not an
-  *                    object) — the missing-vs-null presence channel
-  *                    `from_json` cannot provide, used by the
-  *                    presence-sensitive rules (E11 data policy, K7
-  *                    externalIds).
-  *  - `geom_raw`    — the raw `$.geometry` value substring (null for
-  *                    missing OR explicit JSON null, like `json_tuple`);
-  *                    the geometry subtree is the only part of the
-  *                    document that is ever re-parsed (its nesting depth
-  *                    varies by geometry type, see GeoFunctions).
-  *  - `gate_errors` — the COMPLETE schema-validation error array of
-  *                    [[graft.catalog.SchemaGate]]: root- and
-  *                    properties-level required / type / enum / minItems
-  *                    constraints plus the per-item subschemas of
-  *                    `links[i]` / `contacts[i]` / `themes[i]`
-  *                    (`/root/reference/pywcmp/wcmp2/ets.py:116-148`),
-  *                    emitted in the gate's canonical constraint order
-  *                    with byte-identical messages.
+  * Why: profiling the compute-bound hot path showed ~60% of CPU in JSON
+  * re-tokenization (the same string parsed up to five ways: from_json,
+  * try_parse_json building a whole-document variant binary, json_tuple,
+  * json_object_keys x2, variant navigations), and the
+  * `explode(array(struct(...)))` single-evaluation barrier forces
+  * INTERPRETED evaluation of every composite expression inside it. This
+  * kernel replaces all of it: one streaming pass, no intermediate tree,
+  * preshared UTF8String diagnostics, direct InternalRow/ArrayData
+  * construction.
   *
-  * Why a kernel: profiling the compute-bound hot path showed (a) ~60% of
-  * CPU in JSON re-tokenization — the same `content` string was parsed up
-  * to five ways (`try_parse_json` building a whole-document variant
-  * binary, `json_tuple`, `json_object_keys` x2, variant navigations) —
-  * and (b) the `explode(array(struct(...)))` single-evaluation barriers
-  * force INTERPRETED evaluation of every expression inside them, so the
-  * gate's ~30-predicate when-array was walked by `Expression.eval` chains
-  * per row. This kernel replaces all of it with one streaming pass that
-  * builds no intermediate tree and allocates nothing but the key array on
-  * the all-valid path (fixed diagnostics are preshared UTF8String
-  * constants).
+  * Struct-building semantics (empirically matched to `from_json` with
+  * `spark.sql.json.enablePartialResults`, the Spark 4 default):
+  *  - a STRING leaf never fails: JSON strings keep their text, integer
+  *    numbers keep their literal text (BigInteger-safe), float numbers
+  *    format via `Double.toString` (1e3 -> "1000.0"), booleans ->
+  *    "true"/"false", containers serialize compactly with raw number
+  *    tokens;
+  *  - a mistyped value (scalar where container expected, container where
+  *    the map expected, etc.) nulls THAT FIELD; sibling fields survive;
+  *  - a non-null non-object element inside an array-of-struct nulls the
+  *    WHOLE array field (partial arrays are not kept); explicit JSON null
+  *    elements are kept as null elements;
+  *  - a mistyped value inside `link.security` (map<string,struct>) nulls
+  *    the whole map; JSON-null map values are kept.
   *
   * Gate-semantics notes (parity with the previous Catalyst formulation,
   * asserted by SchemaGateSpec):
   *  - container-type errors fire for explicit JSON null AND for a
   *    mistyped value (JSON-Schema emits the same "is not of type" error
   *    for both);
-  *  - `$.type: 'Feature' was expected` compares the scalar token text
-  *    (numbers/booleans coerce to their literal text, like `from_json`'s
-  *    string coercion; containers never equal 'Feature');
+  *  - `$.type: 'Feature' was expected` compares the scalar token text;
   *  - a valid-JSON non-object root reports the member-level required
   *    errors rather than jsonschema's single root type error;
-  *  - a record failing to parse yields NULL facts (the gate is only read
-  *    behind the engine's `parse_ok` guard).
+  *  - a record failing to parse yields parse_ok=false with an all-null
+  *    `rec` (from_json's malformed-input convention) and null channels
+  *    (the gate is only read behind the engine's `parse_ok` guard).
   */
 case class JsonFacts(child: Expression) extends UnaryExpression {
   override def dataType: DataType = JsonFacts.schema
@@ -105,6 +119,7 @@ case class JsonFacts(child: Expression) extends UnaryExpression {
 object JsonFacts {
 
   val schema: StructType = StructType(Seq(
+    StructField("rec", Wcmp2Schema.root),
     StructField("parse_ok", BooleanType, nullable = false),
     StructField("props_keys", ArrayType(StringType, containsNull = false)),
     StructField("geom_raw", StringType),
@@ -113,11 +128,43 @@ object JsonFacts {
         containsNull = true)),
     StructField("gate_errors", ArrayType(StringType, containsNull = false))))
 
+  // ordinal pins: the builders below write rows positionally; fail fast
+  // if Wcmp2Schema evolves
+  require(Wcmp2Schema.root.fieldNames.sameElements(Array(
+    "id", "conformsTo", "type", "time", "properties", "links",
+    "additionalExtents")))
+  require(Wcmp2Schema.properties.fieldNames.sameElements(Array(
+    "title", "description", "themes", "contacts", "type", "created",
+    "updated", "wmo:dataPolicy", "externalIds")))
+  require(Wcmp2Schema.link.fieldNames.sameElements(Array(
+    "rel", "href", "type", "hreflang", "title", "channel", "security")))
+  require(Wcmp2Schema.contact.fieldNames.sameElements(Array(
+    "organization", "position", "phones", "emails", "links",
+    "contactInstructions", "roles")))
+  require(Wcmp2Schema.theme.fieldNames.sameElements(Array("concepts", "scheme")))
+  require(Wcmp2Schema.concept.fieldNames.sameElements(Array("id", "url")))
+  require(Wcmp2Schema.timeExtent.fieldNames.sameElements(Array(
+    "interval", "resolution")))
+  require(Wcmp2Schema.externalId.fieldNames.sameElements(Array(
+    "scheme", "value")))
+  require(Wcmp2Schema.contactLink.fieldNames.sameElements(Array(
+    "rel", "type", "href")))
+  require(Wcmp2Schema.securityScheme.fieldNames.sameElements(Array(
+    "description")))
+  require(Wcmp2Schema.additionalExtents.fieldNames.sameElements(Array(
+    "temporal")))
+
   private val factory = new JsonFactory()
 
+  /** all-null rec — from_json's result for malformed input / non-object
+    * roots (shared: readers never mutate) */
+  private val EMPTY_REC: InternalRow =
+    new GenericInternalRow(new Array[Any](7))
+
   private val FAILED: InternalRow = {
-    val a = new Array[Any](5)
-    a(0) = java.lang.Boolean.FALSE
+    val a = new Array[Any](6)
+    a(0) = EMPTY_REC
+    a(1) = java.lang.Boolean.FALSE
     new GenericInternalRow(a)
   }
 
@@ -155,6 +202,9 @@ object JsonFacts {
   private val ThemesNotArray = u("$.properties.themes: is not of type 'array'")
   private val ThemesTooShort = u("$.properties.themes: [] is too short")
 
+  private val TrueStr = u("true")
+  private val FalseStr = u("false")
+
   private def add(out: ArrayBuffer[Any], s: String): Unit =
     out += UTF8String.fromString(s)
 
@@ -173,6 +223,198 @@ object JsonFacts {
     val end = p.currentLocation().getCharOffset.toInt
     if (start < 0 || end <= start || end > s.length) null
     else UTF8String.fromString(s.substring(start, end))
+  }
+
+  // ---- from_json-parity leaf/struct builders --------------------------
+
+  private def writeEscaped(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** Compact serialization of the value whose first token is `t`
+    * (container-to-string coercion: compact, original member order, raw
+    * number tokens — from_json's copyCurrentStructure convention). */
+  private def writeCompact(p: JsonParser, t: JsonToken,
+                           sb: java.lang.StringBuilder): Unit = t match {
+    case JsonToken.START_OBJECT =>
+      sb.append('{')
+      var first = true
+      var fn = p.nextFieldName()
+      while (fn != null) {
+        if (!first) sb.append(',')
+        first = false
+        writeEscaped(fn, sb)
+        sb.append(':')
+        writeCompact(p, p.nextToken(), sb)
+        fn = p.nextFieldName()
+      }
+      sb.append('}')
+    case JsonToken.START_ARRAY =>
+      sb.append('[')
+      var first = true
+      var e = p.nextToken()
+      while (e != JsonToken.END_ARRAY) {
+        if (!first) sb.append(',')
+        first = false
+        writeCompact(p, e, sb)
+        e = p.nextToken()
+      }
+      sb.append(']')
+    case JsonToken.VALUE_STRING => writeEscaped(p.getText, sb)
+    case JsonToken.VALUE_NULL => sb.append("null")
+    case JsonToken.VALUE_TRUE => sb.append("true")
+    case JsonToken.VALUE_FALSE => sb.append("false")
+    case _ => sb.append(p.getText) // numbers: raw token text
+  }
+
+  /** STRING leaf with from_json's coercions — never fails. Consumes the
+    * value. */
+  private def stringLeaf(p: JsonParser, t: JsonToken): UTF8String = t match {
+    case JsonToken.VALUE_NULL => null
+    case JsonToken.VALUE_STRING => UTF8String.fromString(p.getText)
+    case JsonToken.VALUE_NUMBER_INT => UTF8String.fromString(p.getText)
+    case JsonToken.VALUE_NUMBER_FLOAT =>
+      UTF8String.fromString(java.lang.Double.toString(p.getDoubleValue))
+    case JsonToken.VALUE_TRUE => TrueStr
+    case JsonToken.VALUE_FALSE => FalseStr
+    case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+      val sb = new java.lang.StringBuilder(32)
+      writeCompact(p, t, sb)
+      UTF8String.fromString(sb.toString)
+    case _ => null
+  }
+
+  /** array<string>: elements all coerce; never fails once the value IS an
+    * array. Caller has consumed START_ARRAY. */
+  private def stringArray(p: JsonParser): GenericArrayData = {
+    val out = new ArrayBuffer[Any](4)
+    var e = p.nextToken()
+    while (e != JsonToken.END_ARRAY) {
+      out += stringLeaf(p, e)
+      e = p.nextToken()
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** array<string> FIELD: null for JSON null or mistyped value. */
+  private def stringArrayField(p: JsonParser, t: JsonToken): GenericArrayData =
+    if (t == JsonToken.START_ARRAY) stringArray(p)
+    else { skipValue(p, t); null }
+
+  /** all-string small struct (phone/email/externalId/contactLink/
+    * concept/securityScheme): field name -> row ordinal; unknown members
+    * skipped. Caller has consumed START_OBJECT. Never fails. */
+  private def smallStruct(p: JsonParser, fields: Map[String, Int],
+                          arity: Int): GenericInternalRow = {
+    val row = new Array[Any](arity)
+    var fn = p.nextFieldName()
+    while (fn != null) {
+      val ft = p.nextToken()
+      fields.get(fn) match {
+        case Some(i) => row(i) = stringLeaf(p, ft)
+        case None => skipValue(p, ft)
+      }
+      fn = p.nextFieldName()
+    }
+    new GenericInternalRow(row)
+  }
+
+  private val phoneFields = Map("value" -> 0)
+  private val externalIdFields = Map("scheme" -> 0, "value" -> 1)
+  private val contactLinkFields = Map("rel" -> 0, "type" -> 1, "href" -> 2)
+  private val conceptRecFields = Map("id" -> 0, "url" -> 1)
+  private val securitySchemeFields = Map("description" -> 0)
+
+  /** array<small-struct> FIELD: a non-null non-object ELEMENT fails the
+    * whole array (from_json partial-results behavior); JSON-null elements
+    * are kept. Returns null on JSON-null / mistyped / failed. Caller
+    * passes the field's first token. */
+  private def structArrayField(p: JsonParser, t: JsonToken,
+                               fields: Map[String, Int],
+                               arity: Int): GenericArrayData = {
+    if (t != JsonToken.START_ARRAY) { skipValue(p, t); return null }
+    val out = new ArrayBuffer[Any](4)
+    var failed = false
+    var e = p.nextToken()
+    while (e != JsonToken.END_ARRAY) {
+      if (e == JsonToken.VALUE_NULL) out += null
+      else if (e == JsonToken.START_OBJECT) out += smallStruct(p, fields, arity)
+      else { failed = true; skipValue(p, e) }
+      e = p.nextToken()
+    }
+    if (failed) null else new GenericArrayData(out.toArray)
+  }
+
+  /** link.security map<string,securityScheme>: a non-null non-object
+    * VALUE fails the whole map; JSON-null values kept. */
+  private def securityMapField(p: JsonParser, t: JsonToken): ArrayBasedMapData = {
+    if (t != JsonToken.START_OBJECT) { skipValue(p, t); return null }
+    val keys = new ArrayBuffer[Any](2)
+    val vals = new ArrayBuffer[Any](2)
+    var failed = false
+    var fn = p.nextFieldName()
+    while (fn != null) {
+      val ft = p.nextToken()
+      if (ft == JsonToken.VALUE_NULL) { keys += u(fn); vals += null }
+      else if (ft == JsonToken.START_OBJECT) {
+        keys += u(fn); vals += smallStruct(p, securitySchemeFields, 1)
+      } else { failed = true; skipValue(p, ft) }
+      fn = p.nextFieldName()
+    }
+    if (failed) null
+    else new ArrayBasedMapData(
+      new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
+  }
+
+  /** timeExtent {interval: array<string>, resolution: string}. Caller has
+    * consumed START_OBJECT. */
+  private def timeExtent(p: JsonParser): GenericInternalRow = {
+    val row = new Array[Any](2)
+    var fn = p.nextFieldName()
+    while (fn != null) {
+      val ft = p.nextToken()
+      fn match {
+        case "interval" => row(0) = stringArrayField(p, ft)
+        case "resolution" => row(1) = stringLeaf(p, ft)
+        case _ => skipValue(p, ft)
+      }
+      fn = p.nextFieldName()
+    }
+    new GenericInternalRow(row)
+  }
+
+  /** additionalExtents {temporal: timeExtent}. */
+  private def additionalExtents(p: JsonParser): GenericInternalRow = {
+    val row = new Array[Any](1)
+    var fn = p.nextFieldName()
+    while (fn != null) {
+      val ft = p.nextToken()
+      fn match {
+        case "temporal" =>
+          row(0) = if (ft == JsonToken.START_OBJECT) timeExtent(p)
+                   else { skipValue(p, ft); null }
+        case _ => skipValue(p, ft)
+      }
+      fn = p.nextFieldName()
+    }
+    new GenericInternalRow(row)
   }
 
   /** member states: 0 missing, 1 expected type, 2 present-but-mistyped
@@ -194,36 +436,60 @@ object JsonFacts {
     var ptypeState = 0; var createdState = 0
     var contactsState = 0; var contactsCount = 0
     var contactsErrs: ArrayBuffer[Any] = null
+    var contactsRec: GenericArrayData = null
     var themesState = 0; var themesCount = 0
     var themesErrs: ArrayBuffer[Any] = null
+    var themesRec: GenericArrayData = null
+    // rec values (from_json parity)
+    var recId: UTF8String = null
+    var recConformsTo: GenericArrayData = null
+    var recType: UTF8String = null
+    var recTime: GenericInternalRow = null
+    var recProps: GenericInternalRow = null
+    var recLinks: GenericArrayData = null
+    var recAddExt: GenericInternalRow = null
   }
 
   private def strState(t: JsonToken): Int =
     if (t == JsonToken.VALUE_STRING) 1 else 2
 
-  /** `links[i]`: object with required string `href` and `rel`. */
+  /** `links[i]`: gate (object with required string href/rel) + rec link
+    * rows, one pass. */
   private def walkLinks(p: JsonParser, w: Walk): Unit = {
     val out = new ArrayBuffer[Any](0)
     w.linksErrs = out
+    val rec = new ArrayBuffer[Any](4)
+    var recFailed = false
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
       val pfx = s"$$.links[$i]"
-      if (e != JsonToken.START_OBJECT) {
-        add(out, s"$pfx: is not of type 'object'"); skipValue(p, e)
+      if (e == JsonToken.VALUE_NULL) {
+        add(out, s"$pfx: is not of type 'object'")
+        rec += null
+      } else if (e != JsonToken.START_OBJECT) {
+        add(out, s"$pfx: is not of type 'object'")
+        recFailed = true
+        skipValue(p, e)
       } else {
         var href = 0; var rel = 0
+        val row = new Array[Any](7)
         var fn = p.nextFieldName()
         while (fn != null) {
           val ft = p.nextToken()
           fn match {
-            case "href" => href = strState(ft)
-            case "rel"  => rel = strState(ft)
-            case _ =>
+            case "rel" => rel = strState(ft); row(0) = stringLeaf(p, ft)
+            case "href" => href = strState(ft); row(1) = stringLeaf(p, ft)
+            case "type" => row(2) = stringLeaf(p, ft)
+            case "hreflang" => row(3) = stringLeaf(p, ft)
+            case "title" => row(4) = stringLeaf(p, ft)
+            case "channel" => row(5) = stringLeaf(p, ft)
+            case "security" => row(6) = securityMapField(p, ft)
+            case _ => skipValue(p, ft)
           }
-          skipValue(p, ft)
           fn = p.nextFieldName()
         }
+        rec += new GenericInternalRow(row)
         if (href == 0) add(out, s"$pfx: 'href' is a required property")
         else if (href == 2) add(out, s"$pfx.href: is not of type 'string'")
         if (rel == 0) add(out, s"$pfx: 'rel' is a required property")
@@ -233,34 +499,54 @@ object JsonFacts {
       e = p.nextToken()
     }
     w.linksCount = i
+    w.recLinks = if (recFailed) null else new GenericArrayData(rec.toArray)
   }
 
-  /** `contacts[i]`: object; `roles` required array; anyOf
-    * name/organization. */
+  /** `contacts[i]`: gate (object; roles required array; anyOf
+    * name/organization) + rec contact rows, one pass. */
   private def walkContacts(p: JsonParser, w: Walk): Unit = {
     val out = new ArrayBuffer[Any](0)
     w.contactsErrs = out
+    val rec = new ArrayBuffer[Any](2)
+    var recFailed = false
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
       val pfx = s"$$.properties.contacts[$i]"
-      if (e != JsonToken.START_OBJECT) {
-        add(out, s"$pfx: is not of type 'object'"); skipValue(p, e)
+      if (e == JsonToken.VALUE_NULL) {
+        add(out, s"$pfx: is not of type 'object'")
+        rec += null
+      } else if (e != JsonToken.START_OBJECT) {
+        add(out, s"$pfx: is not of type 'object'")
+        recFailed = true
+        skipValue(p, e)
       } else {
         var roles = 0
         var hasName = false; var hasOrg = false
+        val row = new Array[Any](7)
         var fn = p.nextFieldName()
         while (fn != null) {
           val ft = p.nextToken()
           fn match {
-            case "roles" => roles = if (ft == JsonToken.START_ARRAY) 1 else 2
-            case "name" => hasName = true
-            case "organization" => hasOrg = true
-            case _ =>
+            case "organization" =>
+              hasOrg = true; row(0) = stringLeaf(p, ft)
+            case "name" => hasName = true; skipValue(p, ft)
+            case "position" => row(1) = stringLeaf(p, ft)
+            case "phones" =>
+              row(2) = structArrayField(p, ft, phoneFields, 1)
+            case "emails" =>
+              row(3) = structArrayField(p, ft, phoneFields, 1)
+            case "links" =>
+              row(4) = structArrayField(p, ft, contactLinkFields, 3)
+            case "contactInstructions" => row(5) = stringLeaf(p, ft)
+            case "roles" =>
+              roles = if (ft == JsonToken.START_ARRAY) 1 else 2
+              row(6) = stringArrayField(p, ft)
+            case _ => skipValue(p, ft)
           }
-          skipValue(p, ft)
           fn = p.nextFieldName()
         }
+        rec += new GenericInternalRow(row)
         if (roles == 0) add(out, s"$pfx: 'roles' is a required property")
         else if (roles == 2) add(out, s"$pfx.roles: is not of type 'array'")
         if (!hasName && !hasOrg)
@@ -270,51 +556,73 @@ object JsonFacts {
       e = p.nextToken()
     }
     w.contactsCount = i
+    w.contactsRec = if (recFailed) null else new GenericArrayData(rec.toArray)
   }
 
-  /** `themes[i]`: object; `concepts` required array minItems 1; `scheme`
-    * required string; `concepts[j]` object with required string `id`.
-    * Canonical emit order per theme (concepts-level, scheme, concept
-    * items) regardless of member order in the document. */
+  /** `themes[i]`: gate (object; concepts required array minItems 1;
+    * scheme required string; concepts[j] object with required string id)
+    * + rec theme rows, one pass. Canonical gate emit order per theme
+    * (concepts-level, scheme, concept items) regardless of member order
+    * in the document. */
   private def walkThemes(p: JsonParser, w: Walk): Unit = {
     val out = new ArrayBuffer[Any](0)
     w.themesErrs = out
+    val rec = new ArrayBuffer[Any](2)
+    var recFailed = false
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
       val pfx = s"$$.properties.themes[$i]"
-      if (e != JsonToken.START_OBJECT) {
-        add(out, s"$pfx: is not of type 'object'"); skipValue(p, e)
+      if (e == JsonToken.VALUE_NULL) {
+        add(out, s"$pfx: is not of type 'object'")
+        rec += null
+      } else if (e != JsonToken.START_OBJECT) {
+        add(out, s"$pfx: is not of type 'object'")
+        recFailed = true
+        skipValue(p, e)
       } else {
         var concepts = 0
         var conceptCount = 0
         var scheme = 0
         var conceptErrs: ArrayBuffer[Any] = null
+        val row = new Array[Any](2)
         var fn = p.nextFieldName()
         while (fn != null) {
           val ft = p.nextToken()
           fn match {
             case "concepts" =>
-              if (ft != JsonToken.START_ARRAY) { concepts = 2; skipValue(p, ft) }
-              else {
+              if (ft != JsonToken.START_ARRAY) {
+                concepts = 2; row(0) = null; skipValue(p, ft)
+              } else {
                 concepts = 1
                 conceptErrs = new ArrayBuffer[Any](0)
                 conceptCount = 0
+                val crec = new ArrayBuffer[Any](4)
+                var cFailed = false
                 var c = p.nextToken()
                 while (c != JsonToken.END_ARRAY) {
                   val cp = s"$pfx.concepts[$conceptCount]"
-                  if (c != JsonToken.START_OBJECT) {
+                  if (c == JsonToken.VALUE_NULL) {
                     add(conceptErrs, s"$cp: is not of type 'object'")
+                    crec += null
+                  } else if (c != JsonToken.START_OBJECT) {
+                    add(conceptErrs, s"$cp: is not of type 'object'")
+                    cFailed = true
                     skipValue(p, c)
                   } else {
                     var id = 0
+                    val crow = new Array[Any](2)
                     var cf = p.nextFieldName()
                     while (cf != null) {
                       val ct = p.nextToken()
-                      if (cf == "id") id = strState(ct)
-                      skipValue(p, ct)
+                      cf match {
+                        case "id" => id = strState(ct); crow(0) = stringLeaf(p, ct)
+                        case "url" => crow(1) = stringLeaf(p, ct)
+                        case _ => skipValue(p, ct)
+                      }
                       cf = p.nextFieldName()
                     }
+                    crec += new GenericInternalRow(crow)
                     if (id == 0)
                       add(conceptErrs, s"$cp: 'id' is a required property")
                     else if (id == 2)
@@ -323,14 +631,17 @@ object JsonFacts {
                   conceptCount += 1
                   c = p.nextToken()
                 }
+                row(0) =
+                  if (cFailed) null else new GenericArrayData(crec.toArray)
               }
             case "scheme" =>
               scheme = strState(ft)
-              skipValue(p, ft)
+              row(1) = stringLeaf(p, ft)
             case _ => skipValue(p, ft)
           }
           fn = p.nextFieldName()
         }
+        rec += new GenericInternalRow(row)
         if (concepts == 0) add(out, s"$pfx: 'concepts' is a required property")
         else if (concepts == 2) add(out, s"$pfx.concepts: is not of type 'array'")
         else if (conceptCount < 1) add(out, s"$pfx.concepts: [] is too short")
@@ -342,6 +653,7 @@ object JsonFacts {
       e = p.nextToken()
     }
     w.themesCount = i
+    w.themesRec = if (recFailed) null else new GenericArrayData(rec.toArray)
   }
 
   /** `$.geometry` object walk: type + the flattened position list
@@ -375,10 +687,7 @@ object JsonFacts {
   }
 
   /** Inside an open array: recurse into nested arrays; a maximal array of
-    * scalars is one position (non-numeric scalars become null ordinates).
-    * A scalar directly inside a non-innermost array context (e.g. Point
-    * coordinates: the open array IS the position) is handled by treating
-    * any array whose first element is a scalar as a position. */
+    * scalars is one position (non-numeric scalars become null ordinates). */
   private def collectPositions(p: JsonParser, out: ArrayBuffer[Any]): Unit = {
     var t = p.nextToken()
     if (t == JsonToken.END_ARRAY) return
@@ -402,36 +711,53 @@ object JsonFacts {
     }
   }
 
-  /** `$.properties` object walk: key list, string-type tags for the four
-    * string members, contacts/themes item subschemas. */
+  /** `$.properties` object walk: key list, string states for the four
+    * string members, contacts/themes item subschemas, and the rec
+    * properties row — one pass. */
   private def walkProps(p: JsonParser, w: Walk): Unit = {
     // duplicate-key last-wins: a re-encountered $.properties object fully
     // replaces the first one's member states
     w.propsKeys = new ArrayBuffer[Any]
     w.titleState = 0; w.descState = 0; w.ptypeState = 0; w.createdState = 0
     w.contactsState = 0; w.contactsCount = 0; w.contactsErrs = null
+    w.contactsRec = null
     w.themesState = 0; w.themesCount = 0; w.themesErrs = null
+    w.themesRec = null
+    val row = new Array[Any](9)
     var pf = p.nextFieldName()
     while (pf != null) {
       add(w.propsKeys, pf)
       val pt = p.nextToken()
       pf match {
-        case "title" => w.titleState = strState(pt); skipValue(p, pt)
-        case "description" => w.descState = strState(pt); skipValue(p, pt)
-        case "type" => w.ptypeState = strState(pt); skipValue(p, pt)
-        case "created" => w.createdState = strState(pt); skipValue(p, pt)
-        case "contacts" =>
-          if (pt != JsonToken.START_ARRAY) {
-            w.contactsState = 2; w.contactsErrs = null; skipValue(p, pt)
-          } else { w.contactsState = 1; walkContacts(p, w) }
+        case "title" =>
+          w.titleState = strState(pt); row(0) = stringLeaf(p, pt)
+        case "description" =>
+          w.descState = strState(pt); row(1) = stringLeaf(p, pt)
         case "themes" =>
           if (pt != JsonToken.START_ARRAY) {
-            w.themesState = 2; w.themesErrs = null; skipValue(p, pt)
-          } else { w.themesState = 1; walkThemes(p, w) }
+            w.themesState = 2; w.themesErrs = null; w.themesRec = null
+            row(2) = null; skipValue(p, pt)
+          } else { w.themesState = 1; walkThemes(p, w); row(2) = w.themesRec }
+        case "contacts" =>
+          if (pt != JsonToken.START_ARRAY) {
+            w.contactsState = 2; w.contactsErrs = null; w.contactsRec = null
+            row(3) = null; skipValue(p, pt)
+          } else {
+            w.contactsState = 1; walkContacts(p, w); row(3) = w.contactsRec
+          }
+        case "type" =>
+          w.ptypeState = strState(pt); row(4) = stringLeaf(p, pt)
+        case "created" =>
+          w.createdState = strState(pt); row(5) = stringLeaf(p, pt)
+        case "updated" => row(6) = stringLeaf(p, pt)
+        case "wmo:dataPolicy" => row(7) = stringLeaf(p, pt)
+        case "externalIds" =>
+          row(8) = structArrayField(p, pt, externalIdFields, 2)
         case _ => skipValue(p, pt)
       }
       pf = p.nextFieldName()
     }
+    w.recProps = new GenericInternalRow(row)
   }
 
   /** The gate's error array in canonical constraint order (the order of
@@ -495,30 +821,42 @@ object JsonFacts {
           while (fn != null) {
             val vt = p.nextToken()
             fn match {
-              case "id" => w.idState = strState(vt); skipValue(p, vt)
+              case "id" =>
+                w.idState = strState(vt); w.recId = stringLeaf(p, vt)
               case "conformsTo" =>
                 if (vt != JsonToken.START_ARRAY) {
-                  w.confState = 2; w.confHasCore = false; skipValue(p, vt)
+                  w.confState = 2; w.confHasCore = false
+                  w.recConformsTo = null
+                  skipValue(p, vt)
                 } else {
                   w.confState = 1; w.confHasCore = false
+                  val items = new ArrayBuffer[Any](4)
                   var e = p.nextToken()
                   while (e != JsonToken.END_ARRAY) {
                     if (e == JsonToken.VALUE_STRING && p.getText == Core)
                       w.confHasCore = true
-                    skipValue(p, e)
+                    items += stringLeaf(p, e)
                     e = p.nextToken()
                   }
+                  w.recConformsTo = new GenericArrayData(items.toArray)
                 }
               case "type" =>
                 if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY
                     || vt == JsonToken.VALUE_NULL) {
-                  w.typeState = 2; w.typeText = null; skipValue(p, vt)
-                } else { w.typeState = 1; w.typeText = p.getText }
+                  w.typeState = 2
+                  w.typeText = null
+                  w.recType = stringLeaf(p, vt)
+                } else {
+                  w.typeState = 1; w.typeText = p.getText
+                  w.recType = stringLeaf(p, vt)
+                }
               case "time" =>
                 w.timeState =
                   if (vt == JsonToken.START_OBJECT) 1
                   else if (vt == JsonToken.VALUE_NULL) 3 else 2
-                skipValue(p, vt)
+                w.recTime =
+                  if (vt == JsonToken.START_OBJECT) timeExtent(p)
+                  else { skipValue(p, vt); null }
               case "geometry" =>
                 w.geomState =
                   if (vt == JsonToken.START_OBJECT) 1
@@ -526,8 +864,7 @@ object JsonFacts {
                 if (vt != JsonToken.START_OBJECT) {
                   w.geomType = null; w.geomPositions = null
                   w.geomRaw = rawValue(p, s, vt)
-                }
-                else {
+                } else {
                   val start = p.currentTokenLocation().getCharOffset.toInt
                   walkGeometry(p, w)
                   val end = p.currentLocation().getCharOffset.toInt
@@ -537,12 +874,18 @@ object JsonFacts {
                 }
               case "properties" =>
                 if (vt != JsonToken.START_OBJECT) {
-                  w.propsState = 2; w.propsKeys = null; skipValue(p, vt)
+                  w.propsState = 2; w.propsKeys = null; w.recProps = null
+                  skipValue(p, vt)
                 } else { w.propsState = 1; walkProps(p, w) }
               case "links" =>
                 if (vt != JsonToken.START_ARRAY) {
-                  w.linksState = 2; w.linksErrs = null; skipValue(p, vt)
+                  w.linksState = 2; w.linksErrs = null; w.recLinks = null
+                  skipValue(p, vt)
                 } else { w.linksState = 1; walkLinks(p, w) }
+              case "additionalExtents" =>
+                w.recAddExt =
+                  if (vt == JsonToken.START_OBJECT) additionalExtents(p)
+                  else { skipValue(p, vt); null }
               case _ => skipValue(p, vt)
             }
             fn = p.nextFieldName()
@@ -556,16 +899,25 @@ object JsonFacts {
     } catch {
       case scala.util.control.NonFatal(_) => return FAILED
     }
-    val a = new Array[Any](5)
-    a(0) = java.lang.Boolean.TRUE
-    a(1) =
+    val rec = new Array[Any](7)
+    rec(0) = w.recId
+    rec(1) = w.recConformsTo
+    rec(2) = w.recType
+    rec(3) = w.recTime
+    rec(4) = w.recProps
+    rec(5) = w.recLinks
+    rec(6) = w.recAddExt
+    val a = new Array[Any](6)
+    a(0) = new GenericInternalRow(rec)
+    a(1) = java.lang.Boolean.TRUE
+    a(2) =
       if (w.propsKeys == null) null
       else new GenericArrayData(w.propsKeys.toArray)
-    a(2) = w.geomRaw
-    a(3) =
+    a(3) = w.geomRaw
+    a(4) =
       if (w.geomPositions == null) null
       else new GenericArrayData(w.geomPositions.toArray)
-    a(4) = gateErrors(w)
+    a(5) = gateErrors(w)
     new GenericInternalRow(a)
   }
 
