@@ -414,12 +414,305 @@ object SparkEntry {
       DatasetRules.langDrift(recs)
         .select(col("lang"), bround(col("psi"), 6).as("psi"), col("drifted"))
         .orderBy("lang")
+    }),
+    // the FLAGSHIP oracle: the full per-record x per-test ETS PASS/FAIL
+    // matrix (the 12 conformance tests + the gating schema validation)
+    // over synthesized mutations UNION the reference fixtures, mirrored
+    // in DuckDB SQL generated from the same vendored codelists — an
+    // independent re-implementation of the whole rule catalog's verdict
+    // logic (messages are golden-tested in ScalaTest; the matrix here
+    // cross-checks every code on 3010 records)
+    "q_ets_matrix" -> ((s, _) => {
+      val recs = OracleDump.table(s, "records_ets") {
+        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+      }
+      val v = Validator.validate(recs)
+      def code(i: Int, name: String) =
+        get(col("ets_tests"), lit(i)).getField("code").as(name)
+      v.select(col("path"), col("parse_ok"),
+        col("validation.code").as("validation"),
+        code(0, "conformance"), code(1, "contacts"),
+        code(2, "created_datetime"), code(3, "data_policy"),
+        code(4, "description"), code(5, "extent_geospatial"),
+        code(6, "extent_temporal"), code(7, "identifier"),
+        code(8, "links"), code(9, "themes"),
+        code(10, "title"), code(11, "rtype"))
+        .orderBy("path")
     })
   )
+
+  /** The q_ets_matrix oracle: a from-scratch DuckDB re-implementation of
+    * the ENTIRE ETS verdict logic (gate + 12 tests, PASS/FAIL codes) over
+    * the dumped records, generated from the same vendored codelists the
+    * engine compiles in. Deliberately built on different primitives
+    * (json_type / json_transform list-lambda walks vs the engine's
+    * single-tokenize kernel) so agreement is meaningful. DuckDB 1.0
+    * conventions relied on (probed): constant-path json_type gives 'NULL'
+    * for JSON null and SQL NULL for missing; dynamic-path (the security
+    * map walk) gives SQL NULL for both; json_transform '["JSON"]' maps
+    * JSON-null elements to SQL NULL; json_extract_string coerces scalars
+    * (floats via double formatting, matching the engine kernel) and
+    * minifies containers. */
+  private def etsMatrixSql: String = {
+    import graft.dims.Dims
+    def arrLit(vs: Seq[String]): String =
+      vs.distinct.map(v => "'" + v.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+    val centresArr = arrLit(Dims.centreIds)
+    val resTypesArr = arrLit(Dims.resourceTypes)
+    val rolesArr = arrLit(Dims.contactRoles)
+    val relsArr = arrLit(Dims.linkRelations)
+    val policiesArr = arrLit(Dims.dataPolicies)
+    val esdArr = arrLit(Dims.earthSystemDisciplines)
+    val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+    val kebab = "^[a-z0-9][a-z0-9-]*$"
+    // level-wise WIS2 channel walk (Dims.validTopicChannel; no published
+    // sub-discipline table in the verify environment -> levels 8+ are
+    // charset grammar). `ch` is the channel string expression.
+    def validChannel(ch: String): String = {
+      val t = s"string_split($ch, '/')"
+      s"""($t[1] IN ('origin','cache') AND $t[2] = 'a' AND $t[3] = 'wis2'
+         |      AND (list_contains($centresArr, $t[4])
+         |           OR ends_with($t[4], '-test'))
+         |      AND CASE
+         |       WHEN $t[5] = 'data' THEN len($t) >= 7
+         |        AND list_contains($policiesArr, $t[6])
+         |        AND list_contains($esdArr, $t[7])
+         |        AND len(list_filter($t[8:],
+         |             tok -> NOT regexp_matches(tok, '$kebab'))) = 0
+         |       WHEN $t[5] IN ('metadata','reports') THEN len($t) >= 5
+         |        AND len(list_filter($t[6:],
+         |             tok -> NOT regexp_matches(tok, '$kebab'))) = 0
+         |       ELSE false END)""".stripMargin
+    }
+    s"""WITH r AS (
+       | -- DuckDB json functions THROW on malformed input; null the
+       | -- content for invalid rows (their codes are NULL behind `ok`)
+       | SELECT path, CASE WHEN json_valid(content) THEN content END
+       |   AS content, json_valid(content) AS ok
+       | FROM read_parquet('${OracleDump.glob("records_ets")}')),
+       |f AS (SELECT path, content, ok,
+       | json_type(content, '$$.links') = 'ARRAY' AS links_arr,
+       | json_type(content, '$$.properties') = 'OBJECT' AS props_ok,
+       | json_type(content, '$$.properties.contacts') = 'ARRAY' AS contacts_arr,
+       | json_type(content, '$$.properties.themes') = 'ARRAY' AS themes_arr,
+       | json_transform(json_extract(content, '$$.links'), '["JSON"]') AS ll,
+       | json_transform(json_extract(content, '$$.properties.contacts'),
+       |   '["JSON"]') AS cl,
+       | json_transform(json_extract(content, '$$.properties.themes'),
+       |   '["JSON"]') AS tl,
+       | json_extract_string(content, '$$.id') AS rid,
+       | json_extract_string(content, '$$.properties.type') AS ptype,
+       | json_extract_string(content, '$$.properties.created') AS created,
+       | json_extract_string(content, '$$.geometry.type') AS gtype,
+       | json_extract(content, '$$.geometry.coordinates') AS coords,
+       | json_type(content, '$$.geometry') AS geom_type,
+       | json_type(content, '/properties/wmo:dataPolicy') AS policy_type,
+       | json_extract_string(content, '/properties/wmo:dataPolicy') AS policy,
+       | json_transform(json_extract(content, '$$.conformsTo'),
+       |   '["VARCHAR"]') AS conforms,
+       | json_transform(json_extract(content, '$$.properties.themes'),
+       |   '[{"concepts":[{"id":"VARCHAR"}],"scheme":"VARCHAR"}]') AS tlist,
+       | json_transform(json_extract(content, '$$.properties.contacts'),
+       |   '[{"roles":["VARCHAR"]}]') AS clist
+       | FROM r),
+       |g AS (SELECT *, CASE gtype
+       |   WHEN 'Point' THEN [json_transform(coords, '["DOUBLE"]')]
+       |   WHEN 'LineString' THEN json_transform(coords, '[["DOUBLE"]]')
+       |   WHEN 'MultiPoint' THEN json_transform(coords, '[["DOUBLE"]]')
+       |   WHEN 'Polygon' THEN
+       |     flatten(json_transform(coords, '[[["DOUBLE"]]]'))
+       |   WHEN 'MultiLineString' THEN
+       |     flatten(json_transform(coords, '[[["DOUBLE"]]]'))
+       |   WHEN 'MultiPolygon' THEN
+       |     flatten(flatten(json_transform(coords, '[[[["DOUBLE"]]]]')))
+       |   ELSE NULL END AS pos,
+       | coalesce(len(list_filter(ll, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS links_bad_elem,
+       | coalesce(len(list_filter(cl, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS contacts_bad_elem,
+       | coalesce(len(list_filter(tl, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS themes_bad_elem,
+       | len(ll) AS n_links_raw,
+       | coalesce(len(list_filter(ll, e ->
+       |   e IS NOT NULL AND json_type(e) = 'OBJECT'
+       |   AND json_extract_string(e, '$$.rel') = 'license')) > 0, false)
+       |   AS has_license_raw,
+       | coalesce(len(list_filter(ll, e ->
+       |   e IS NOT NULL AND json_type(e) = 'OBJECT' AND (
+       |    coalesce(NOT list_contains($relsArr,
+       |      json_extract_string(e, '$$.rel')), false)
+       |    OR coalesce(starts_with(json_extract_string(e, '$$.href'), 'mqtt')
+       |       AND json_extract_string(e, '$$.channel') IS NULL, false)
+       |    OR coalesce(starts_with(json_extract_string(e, '$$.href'), 'mqtt')
+       |       AND (starts_with(json_extract_string(e, '$$.channel'),
+       |              'origin/a/wis2')
+       |         OR starts_with(json_extract_string(e, '$$.channel'),
+       |              'cache/a/wis2'))
+       |       AND NOT ${validChannel("json_extract_string(e, '$.channel')")},
+       |       false)
+       |    OR coalesce(json_type(e, '$$.security') = 'OBJECT'
+       |       AND len(list_filter(json_keys(e, '$$.security'), k ->
+       |            json_type(e, '/security/' || k) IS NOT NULL
+       |            AND json_type(e, '/security/' || k) != 'OBJECT')) = 0
+       |       AND len(list_filter(json_keys(e, '$$.security'), k ->
+       |            json_type(e, '/security/' || k) IS NULL
+       |            OR (json_type(e, '/security/' || k) = 'OBJECT'
+       |                AND json_type(e, '/security/' || k || '/description')
+       |                    IS NULL))) > 0, false)
+       |  ))) > 0, false) AS any_link_fail,
+       | coalesce(len(list_filter(ll, e ->
+       |   e IS NULL OR json_type(e) != 'OBJECT'
+       |   OR json_type(e, '$$.href') IS DISTINCT FROM 'VARCHAR'
+       |   OR json_type(e, '$$.rel') IS DISTINCT FROM 'VARCHAR')) > 0, false)
+       |   AS gate_links_item,
+       | coalesce(len(list_filter(cl, e ->
+       |   e IS NULL OR json_type(e) != 'OBJECT'
+       |   OR json_type(e, '$$.roles') IS DISTINCT FROM 'ARRAY'
+       |   OR (json_type(e, '$$.name') IS NULL
+       |       AND json_type(e, '$$.organization') IS NULL))) > 0, false)
+       |   AS gate_contacts_item,
+       | coalesce(len(list_filter(tl, te ->
+       |   te IS NULL OR json_type(te) != 'OBJECT'
+       |   OR json_type(te, '$$.concepts') IS DISTINCT FROM 'ARRAY'
+       |   OR (json_type(te, '$$.concepts') = 'ARRAY'
+       |       AND json_array_length(te, '$$.concepts') = 0)
+       |   OR json_type(te, '$$.scheme') IS DISTINCT FROM 'VARCHAR'
+       |   OR (json_type(te, '$$.concepts') = 'ARRAY'
+       |       AND len(list_filter(
+       |            json_transform(json_extract(te, '$$.concepts'),
+       |              '["JSON"]'), ke ->
+       |            ke IS NULL OR json_type(ke) != 'OBJECT'
+       |            OR json_type(ke, '$$.id') IS DISTINCT FROM 'VARCHAR'))
+       |           > 0))) > 0, false)
+       |   AS gate_themes_item
+       | FROM f),
+       |v AS (SELECT path, ok,
+       | (json_type(content, '$$.id') IS DISTINCT FROM 'VARCHAR'
+       |  OR json_type(content, '$$.conformsTo') IS DISTINCT FROM 'ARRAY'
+       |  OR NOT coalesce(list_contains(conforms, '$core'), false)
+       |  OR json_type(content, '$$.type') IS NULL
+       |  OR json_extract_string(content, '$$.type')
+       |     IS DISTINCT FROM 'Feature'
+       |  OR json_type(content, '$$.time') IS NULL
+       |  OR json_type(content, '$$.time') NOT IN ('OBJECT','NULL')
+       |  OR json_type(content, '$$.geometry') IS NULL
+       |  OR json_type(content, '$$.geometry') NOT IN ('OBJECT','NULL')
+       |  OR NOT props_ok
+       |  OR json_type(content, '$$.links') IS DISTINCT FROM 'ARRAY'
+       |  OR (links_arr AND json_array_length(content, '$$.links') = 0)
+       |  OR (props_ok AND (
+       |    json_type(content, '$$.properties.title')
+       |      IS DISTINCT FROM 'VARCHAR'
+       |    OR json_type(content, '$$.properties.description')
+       |      IS DISTINCT FROM 'VARCHAR'
+       |    OR json_type(content, '$$.properties.type')
+       |      IS DISTINCT FROM 'VARCHAR'
+       |    OR json_type(content, '$$.properties.created')
+       |      IS DISTINCT FROM 'VARCHAR'
+       |    OR NOT contacts_arr
+       |    OR (contacts_arr
+       |        AND json_array_length(content, '$$.properties.contacts') = 0)
+       |    OR NOT themes_arr
+       |    OR (themes_arr
+       |        AND json_array_length(content, '$$.properties.themes') = 0)))
+       |  OR (links_arr AND gate_links_item)
+       |  OR (props_ok AND contacts_arr AND gate_contacts_item)
+       |  OR (props_ok AND themes_arr AND gate_themes_item)) AS gate_fail,
+       | (rid IS NOT NULL AND (
+       |   len(string_split(rid, ':')) < 5
+       |   OR NOT starts_with(rid, 'urn:wmo:md:')
+       |   OR contains(list_extract(string_split(rid, ':'), -1), ' ')
+       |   OR coalesce(NOT ends_with(string_split(rid, ':')[4], '-test')
+       |       AND NOT list_contains($centresArr,
+       |             string_split(rid, ':')[4]), false)
+       |   OR NOT regexp_matches(rid, '^[\\x00-\\x7F]*$$')
+       |   OR list_extract(string_split(rid, ':'), -1) = ''
+       | )) AS identifier_fail,
+       | coalesce(NOT list_contains($resTypesArr, ptype), false) AS rtype_fail,
+       | (geom_type IS NOT NULL AND geom_type != 'NULL' AND coalesce(
+       |   NOT (list_min(list_transform(pos, p -> p[1])) BETWEEN -180 AND 180
+       |     AND list_min(list_transform(pos, p -> p[2])) BETWEEN -90 AND 90
+       |     AND list_max(list_transform(pos, p -> p[1])) BETWEEN -180 AND 180
+       |     AND list_max(list_transform(pos, p -> p[2])) BETWEEN -90 AND 90),
+       |   false)) AS geo_fail,
+       | (CASE WHEN themes_arr AND NOT themes_bad_elem
+       |         AND len(tlist) < 1 THEN true
+       |   ELSE
+       |    coalesce(len(list_filter(
+       |      CASE WHEN themes_arr AND NOT themes_bad_elem
+       |           THEN tlist ELSE NULL END,
+       |      t -> CASE WHEN len(t.concepts) < 1 THEN true
+       |            WHEN t.scheme IS NULL THEN true
+       |            ELSE len(list_filter(t.concepts, c ->
+       |              c.id IS NULL
+       |              OR (ends_with(t.scheme, 'earth-system-discipline')
+       |                  AND NOT list_contains($esdArr, c.id)))) > 0 END))
+       |      > 0, false)
+       |    OR NOT coalesce(len(list_filter(
+       |      CASE WHEN themes_arr AND NOT themes_bad_elem
+       |           THEN tlist ELSE NULL END,
+       |      t -> coalesce(contains(t.scheme, 'earth-system-discipline'),
+       |                    false))) > 0, false)
+       |  END) AS themes_fail,
+       | coalesce(len(list_filter(
+       |   CASE WHEN contacts_arr AND NOT contacts_bad_elem
+       |        THEN clist ELSE NULL END,
+       |   c -> len(list_filter(c.roles,
+       |     ro -> ro IS NOT NULL AND NOT list_contains($rolesArr, ro))) > 0
+       |  )) > 0, false) AS contacts_fail,
+       | NOT coalesce(
+       |   try_strptime(substr(created, 1, 19),
+       |     '%Y-%m-%dT%H:%M:%S') IS NOT NULL
+       |   AND regexp_matches(created,
+       |     '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(Z|\\.[0-9]{1,6}Z|[+-]([0-9]{4}|[0-9]{6}|[0-9]{2}:[0-9]{2}(:[0-9]{2})?))$$'),
+       |   false) AS created_fail,
+       | (coalesce(ptype = 'dataset', false) AND (
+       |   policy_type IS NULL
+       |   OR coalesce(NOT list_contains($policiesArr, policy), false)
+       |   OR coalesce(policy = 'recommended'
+       |       AND NOT (links_arr AND NOT links_bad_elem
+       |                AND has_license_raw), false))) AS policy_fail,
+       | (links_arr AND NOT links_bad_elem
+       |  AND (n_links_raw = 0 OR coalesce(any_link_fail, false)))
+       |  AS links_fail
+       | FROM g)
+       |SELECT path, ok AS parse_ok,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN gate_fail THEN 'FAILED' ELSE 'PASSED' END AS validation,
+       | CASE WHEN NOT ok THEN NULL ELSE 'PASSED' END AS conformance,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN contacts_fail THEN 'FAILED' ELSE 'PASSED' END AS contacts,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN created_fail THEN 'FAILED' ELSE 'PASSED' END
+       |   AS created_datetime,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN policy_fail THEN 'FAILED' ELSE 'PASSED' END AS data_policy,
+       | CASE WHEN NOT ok THEN NULL ELSE 'PASSED' END AS description,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN geo_fail THEN 'FAILED' ELSE 'PASSED' END
+       |   AS extent_geospatial,
+       | CASE WHEN NOT ok THEN NULL ELSE 'PASSED' END AS extent_temporal,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN identifier_fail THEN 'FAILED' ELSE 'PASSED' END
+       |   AS identifier,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN links_fail THEN 'FAILED' ELSE 'PASSED' END AS links,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN themes_fail THEN 'FAILED' ELSE 'PASSED' END AS themes,
+       | CASE WHEN NOT ok THEN NULL ELSE 'PASSED' END AS title,
+       | CASE WHEN NOT ok THEN NULL
+       |      WHEN rtype_fail THEN 'FAILED' ELSE 'PASSED' END AS rtype
+       |FROM v ORDER BY path""".stripMargin
+  }
 
   /** DuckDB-runnable ANSI SQL twins; column names/aliases match the Spark
     * results exactly (the driver compare sorts columns by name). */
   def oracleSql: Map[String, String] = Map(
+    "q_ets_matrix" -> etsMatrixSql,
     "q_agg_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows, min(l_extendedprice) AS min_price,
