@@ -438,6 +438,27 @@ object SparkEntry {
         code(8, "links"), code(9, "themes"),
         code(10, "title"), code(11, "rtype"))
         .orderBy("path")
+    }),
+    // the KPI twin of q_ets_matrix: per-record total+score for all 7 KPIs
+    // plus the summary (incl. percentage, grade, and the pids
+    // score-exceeds-total quirk), independently re-scored in DuckDB SQL
+    "q_kpi_matrix" -> ((s, _) => {
+      val recs = OracleDump.table(s, "records_ets") {
+        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+      }
+      val v = Validator.validate(recs)
+      def kpi(i: Int, name: String): Seq[Column] = Seq(
+        get(col("kpi_tests"), lit(i)).getField("total").as(s"${name}_total"),
+        get(col("kpi_tests"), lit(i)).getField("score").as(s"${name}_score"))
+      v.select(Seq(col("path"), col("parse_ok")) ++
+        kpi(0, "contacts") ++ kpi(1, "description") ++ kpi(2, "graphic") ++
+        kpi(3, "links") ++ kpi(4, "pids") ++ kpi(5, "time") ++
+        kpi(6, "title") ++ Seq(
+          col("kpi_summary.total").as("sum_total"),
+          col("kpi_summary.score").as("sum_score"),
+          col("kpi_summary.percentage").as("sum_percentage"),
+          col("kpi_summary.grade").as("grade")): _*)
+        .orderBy("path")
     })
   )
 
@@ -709,10 +730,295 @@ object SparkEntry {
        |FROM v ORDER BY path""".stripMargin
   }
 
+  /** The q_kpi_matrix oracle: independent DuckDB re-scoring of all 7
+    * KPIs (totals, scores, summary percentage + grade) with the offline
+    * probe's semantics (accessible = true, mime = declared type else
+    * text/html), the vendored 7k-word spell lexicon inlined, and every
+    * reference quirk mirrored: the kpi_title bulletin -1, the
+    * kpi_contacts last-contact email bug, the kpi_pids
+    * score-exceeds-total, and the link-pool theme-poisoning rules. */
+  private def kpiMatrixSql: String = {
+    import graft.dims.Dims
+    require(Dims.validMimes.contains("text/html"),
+      "K5 null-type entries assume text/html is a valid MIME")
+    def arrLit(vs: Seq[String]): String =
+      vs.distinct.map(v => "'" + v.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+    val dict = arrLit(Dims.dictionary)
+    val webImgArr = arrLit(Dims.webImageMimes)
+    val mimesArr = arrLit(Dims.validMimes)
+    // pyspellchecker split_words: Java (?U)\w over the lowercased text;
+    // RE2 spelling of the same class
+    val w = "[\\p{L}\\p{N}_]"
+    // the apostrophe inside the class is doubled for SQL string embedding
+    val wordRe = s"$w[\\p{L}\\p{N}_'']*$w|$w"
+    val floatRe =
+      "^[+-]?([0-9_]+\\.?[0-9_]*|\\.[0-9_]+)([eE][+-]?[0-9_]+)?$$"
+    val acronymRe = "\\b([A-Z]{2,}[0-9]*)\\b"
+    val bulletinRe = "[A-Z]{4}[0-9]{2}[\\s_]*[A-Z]{4}"
+    val alnumRe = "^[\\p{L}\\p{N}]+$$"
+    // misspelled-token count for a text expression
+    def mis(col: String): String =
+      s"""len(list_filter(regexp_extract_all(lower($col), '$wordRe'),
+         |   tok -> NOT regexp_matches(tok, '$floatRe')
+         |          AND NOT list_contains($dict, tok)))""".stripMargin
+    def pyStrip(e: String): String =
+      s"regexp_replace(regexp_replace($e, '^\\s+', ''), '\\s+$$', '')"
+    // one gathered temporal extent's 3-point score (engine timeIntervals)
+    def ivScore(base: String): String = {
+      val iv = s"json_transform(json_extract(content, '$base.interval'), '[\"VARCHAR\"]')"
+      s"""(CASE WHEN coalesce((NOT list_contains($iv, '..')
+         |        AND $iv[1] <= $iv[2]) OR $iv[2] = '..', false)
+         |   THEN 1 ELSE 0 END
+         | + CASE WHEN coalesce(NOT ($iv[1] = '..' AND $iv[2] = '..'), false)
+         |   THEN 1 ELSE 0 END
+         | + CASE WHEN json_type(content, '$base.resolution')
+         |        IS NOT NULL AND json_type(content, '$base.resolution')
+         |        != 'NULL' THEN 1 ELSE 0 END)""".stripMargin
+    }
+    s"""WITH r AS (
+       | SELECT path, CASE WHEN json_valid(content) THEN content END
+       |   AS content, json_valid(content) AS ok
+       | FROM read_parquet('${OracleDump.glob("records_ets")}')),
+       |f AS (SELECT path, content, ok,
+       | json_extract_string(content, '$$.properties.title') AS title,
+       | json_extract_string(content, '$$.properties.description') AS descr,
+       | json_type(content, '$$.links') = 'ARRAY' AS links_arr,
+       | json_type(content, '$$.properties') = 'OBJECT' AS props_ok,
+       | json_type(content, '$$.properties.contacts') = 'ARRAY'
+       |   AS contacts_arr,
+       | json_type(content, '$$.properties.themes') = 'ARRAY' AS themes_arr,
+       | json_transform(json_extract(content, '$$.links'), '["JSON"]') AS ll,
+       | json_transform(json_extract(content, '$$.properties.contacts'),
+       |   '["JSON"]') AS cl,
+       | json_transform(json_extract(content, '$$.properties.themes'),
+       |   '["JSON"]') AS tl
+       | FROM r),
+       |g AS (SELECT *, 
+       | coalesce(len(list_filter(ll, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS links_bad_elem,
+       | coalesce(len(list_filter(cl, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS contacts_bad_elem,
+       | coalesce(len(list_filter(tl, e ->
+       |   e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |   AS themes_bad_elem,
+       | list_filter(regexp_split_to_array(title, '\\s+'), x -> x != '')
+       |   AS words,
+       | ${pyStrip(s"regexp_replace(title, '$acronymRe', '', 'g')")}
+       |   AS stripped,
+       | ${mis("title")} AS mis_title,
+       | ${mis("descr")} AS mis_descr
+       | FROM f),
+       |k AS (SELECT path, ok,
+       | -- K1 good_quality_title (total 8; bulletin scores -1 when present)
+       | 8 AS title_total,
+       | (CASE WHEN title IS NOT NULL THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(len(words) >= 3, false) THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(length(title) <= 150, false) THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(len(list_filter(words,
+       |       x -> NOT regexp_matches(x, '$alnumRe'))) = 0, false)
+       |    THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce((CASE WHEN length(stripped) = 0 THEN stripped
+       |       ELSE upper(substr(stripped, 1, 1)) || lower(substr(stripped, 2))
+       |       END) = stripped, false) THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(len(regexp_extract_all(title,
+       |       '$acronymRe', 1)) <= 3, false) THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(regexp_matches(title, '$bulletinRe'), false)
+       |    THEN -1 ELSE 1 END
+       |  + CASE WHEN coalesce(mis_title = 0, false) THEN 1 ELSE 0 END)
+       |   AS title_score,
+       | -- K2 good_quality_description (total 4)
+       | 4 AS description_total,
+       | (CASE WHEN coalesce(length(descr) BETWEEN 16 AND 2048, false)
+       |    THEN 1 ELSE 0 END
+       |  + CASE WHEN coalesce(regexp_matches(descr,
+       |      '<[a-zA-Z!/][^>]*>'), false) THEN 0 ELSE 1 END
+       |  + CASE WHEN coalesce(regexp_matches(descr, '$bulletinRe'), false)
+       |    THEN 0 ELSE 1 END
+       |  + CASE WHEN coalesce(mis_descr = 0, false) THEN 1 ELSE 0 END)
+       |   AS description_score,
+       | -- K3 time_intervals (per gathered interval: order/open/resolution)
+       | (CASE WHEN json_type(content, '$$.time') IS DISTINCT FROM 'OBJECT'
+       |    THEN 0 ELSE 3 * (
+       |     (CASE WHEN json_type(content, '$$.time.interval') = 'ARRAY'
+       |       THEN 1 ELSE 0 END)
+       |     + (CASE WHEN json_type(content, '$$.additionalExtents')
+       |          = 'OBJECT'
+       |         AND json_type(content, '$$.additionalExtents.temporal')
+       |          = 'OBJECT'
+       |         AND json_type(content,
+       |          '$$.additionalExtents.temporal.interval') = 'ARRAY'
+       |       THEN 1 ELSE 0 END)) END) AS time_total,
+       | (CASE WHEN json_type(content, '$$.time') IS DISTINCT FROM 'OBJECT'
+       |    THEN 0 ELSE
+       |     (CASE WHEN json_type(content, '$$.time.interval') = 'ARRAY'
+       |       THEN ${ivScore("$.time")} ELSE 0 END)
+       |     + (CASE WHEN json_type(content, '$$.additionalExtents')
+       |          = 'OBJECT'
+       |         AND json_type(content, '$$.additionalExtents.temporal')
+       |          = 'OBJECT'
+       |         AND json_type(content,
+       |          '$$.additionalExtents.temporal.interval') = 'ARRAY'
+       |       THEN ${ivScore("$.additionalExtents.temporal")}
+       |       ELSE 0 END) END) AS time_score,
+       | -- K4 graphic_overview (offline probe: accessible, mime=declared)
+       | (CASE WHEN links_arr AND NOT links_bad_elem THEN
+       |   3 * len(list_filter(ll, e -> e IS NOT NULL
+       |      AND json_extract_string(e, '$$.rel') = 'preview')) END)
+       |   AS graphic_total,
+       | (CASE WHEN links_arr AND NOT links_bad_elem THEN
+       |   coalesce(list_sum(list_transform(list_filter(ll, e ->
+       |     e IS NOT NULL
+       |     AND json_extract_string(e, '$$.rel') = 'preview'),
+       |    e -> 2 + (CASE WHEN coalesce(list_contains($webImgArr,
+       |         json_extract_string(e, '$$.type')), false)
+       |       THEN 1 ELSE 0 END))), 0) END) AS graphic_score,
+       | -- K5 links_health: pooled record/theme/contact URLs, 2 pts each
+       | (CASE WHEN links_arr AND NOT links_bad_elem THEN
+       |   list_filter(ll, e -> e IS NOT NULL AND coalesce(starts_with(
+       |     json_extract_string(e, '$$.href'), 'http'), false))
+       |  ELSE [] END) AS pool_rec,
+       | (CASE WHEN themes_arr AND NOT themes_bad_elem
+       |    AND NOT coalesce(len(list_filter(tl, te ->
+       |      te IS NULL
+       |      OR json_type(te, '$$.concepts') IS DISTINCT FROM 'ARRAY'
+       |      OR coalesce(len(list_filter(
+       |          json_transform(json_extract(te, '$$.concepts'), '["JSON"]'),
+       |          ke -> ke IS NOT NULL AND json_type(ke) != 'OBJECT')) > 0,
+       |         false))) > 0, false)
+       |  THEN
+       |   coalesce(list_sum(list_transform(tl, te ->
+       |     len(list_filter(
+       |       json_transform(json_extract(te, '$$.concepts'), '["JSON"]'),
+       |       ke -> ke IS NOT NULL AND coalesce(starts_with(
+       |         json_extract_string(ke, '$$.url'), 'http'), false)))
+       |     + (CASE WHEN coalesce(starts_with(
+       |          json_extract_string(te, '$$.scheme'), 'http'), false)
+       |        THEN 1 ELSE 0 END))), 0)
+       |  ELSE 0 END) AS pool_theme_n,
+       | (CASE WHEN contacts_arr AND NOT contacts_bad_elem THEN
+       |   coalesce(list_sum(list_transform(cl, ce ->
+       |     CASE WHEN ce IS NOT NULL
+       |       AND json_type(ce, '$$.links') = 'ARRAY'
+       |       AND NOT coalesce(len(list_filter(
+       |           json_transform(json_extract(ce, '$$.links'), '["JSON"]'),
+       |           le -> le IS NOT NULL AND json_type(le) != 'OBJECT')) > 0,
+       |          false)
+       |     THEN len(list_filter(
+       |       json_transform(json_extract(ce, '$$.links'), '["JSON"]'),
+       |       le -> le IS NOT NULL AND coalesce(starts_with(
+       |         json_extract_string(le, '$$.href'), 'http'), false)))
+       |     ELSE 0 END)), 0)
+       |  ELSE 0 END) AS pool_contact_n,
+       | -- K6 contacts (reference bug: email check reads the LAST contact)
+       | (CASE WHEN contacts_arr AND NOT contacts_bad_elem THEN
+       |   list_filter(cl, c -> c IS NOT NULL
+       |     AND json_type(c, '$$.roles') = 'ARRAY'
+       |     AND coalesce(list_contains(json_transform(
+       |       json_extract(c, '$$.roles'), '["VARCHAR"]'), 'host'), false))
+       |  ELSE NULL END) AS hosts,
+       | (CASE WHEN contacts_arr AND NOT contacts_bad_elem
+       |   THEN list_extract(cl, -1) END) AS last_contact,
+       | -- K7 pids
+       | (props_ok AND json_type(content, '/properties/externalIds')
+       |   IS NOT NULL) AS ext_present,
+       | coalesce(json_type(content, '$$.properties.externalIds') = 'ARRAY'
+       |  AND NOT coalesce(len(list_filter(json_transform(
+       |       json_extract(content, '$$.properties.externalIds'),
+       |       '["JSON"]'), e ->
+       |       e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0, false)
+       |  AND len(list_filter(json_transform(
+       |       json_extract(content, '$$.properties.externalIds'),
+       |       '["JSON"]'), e -> e IS NOT NULL
+       |       AND json_extract_string(e, '$$.scheme')
+       |           IN ('doi','ark','hdl'))) > 0, false) AS scheme_ok,
+       | coalesce(links_arr AND NOT links_bad_elem
+       |  AND len(list_filter(ll, e -> e IS NOT NULL
+       |      AND json_extract_string(e, '$$.rel') = 'cite-as')) > 0, false)
+       |   AS cite_as,
+       | ll, links_arr, links_bad_elem
+       | FROM g),
+       |k2 AS (SELECT *, 
+       | 2 * (len(pool_rec) + pool_theme_n + pool_contact_n) AS links_total,
+       | coalesce(list_sum(list_transform(pool_rec, e ->
+       |    1 + (CASE WHEN coalesce(list_contains($mimesArr,
+       |          coalesce(json_extract_string(e, '$$.type'), 'text/html')),
+       |         false) THEN 1 ELSE 0 END))), 0)
+       |  + 2 * (pool_theme_n + pool_contact_n) AS links_score,
+       | (CASE WHEN hosts IS NOT NULL AND len(hosts) > 0
+       |   THEN list_extract(hosts, -1) END) AS host
+       | FROM k),
+       |k3 AS (SELECT *, 
+       | 3 AS contacts_total,
+       | ((CASE WHEN host IS NOT NULL THEN 1 ELSE 0 END)
+       |  + (CASE WHEN host IS NOT NULL
+       |      AND json_type(host, '$$.contactInstructions') IS NOT NULL
+       |      AND json_type(host, '$$.contactInstructions') != 'NULL'
+       |     THEN 1 ELSE 0 END)
+       |  + (CASE WHEN host IS NOT NULL AND last_contact IS NOT NULL
+       |      AND json_type(last_contact, '$$.emails') = 'ARRAY'
+       |      AND NOT coalesce(len(list_filter(json_transform(
+       |           json_extract(last_contact, '$$.emails'), '["JSON"]'),
+       |           e -> e IS NOT NULL AND json_type(e) != 'OBJECT')) > 0,
+       |          false)
+       |      AND len(list_filter(json_transform(
+       |           json_extract(last_contact, '$$.emails'), '["JSON"]'),
+       |           e -> e IS NOT NULL
+       |           AND json_type(e, '$$.value') IS NOT NULL
+       |           AND json_type(e, '$$.value') != 'NULL')) > 0
+       |     THEN 1 ELSE 0 END)) AS contacts_score,
+       | (CASE WHEN ext_present THEN 3 ELSE 0 END) AS pids_total,
+       | ((CASE WHEN ext_present
+       |    THEN 1 + (CASE WHEN scheme_ok THEN 1 ELSE 0 END) ELSE 0 END)
+       |  + (CASE WHEN cite_as THEN 1 ELSE 0 END)) AS pids_score
+       | FROM k2),
+       |fin AS (SELECT *, 
+       | contacts_total + description_total + graphic_total + links_total
+       |  + pids_total + time_total + title_total AS sum_total,
+       | contacts_score + description_score + graphic_score + links_score
+       |  + pids_score + time_score + title_score AS sum_score
+       | FROM k3)
+       |SELECT path, ok AS parse_ok,
+       | CASE WHEN ok THEN contacts_total END AS contacts_total,
+       | CASE WHEN ok THEN contacts_score END AS contacts_score,
+       | CASE WHEN ok THEN description_total END AS description_total,
+       | CASE WHEN ok THEN description_score END AS description_score,
+       | CASE WHEN ok THEN graphic_total END AS graphic_total,
+       | CASE WHEN ok THEN graphic_score END AS graphic_score,
+       | CASE WHEN ok THEN links_total END AS links_total,
+       | CASE WHEN ok THEN links_score END AS links_score,
+       | CASE WHEN ok THEN pids_total END AS pids_total,
+       | CASE WHEN ok THEN pids_score END AS pids_score,
+       | CASE WHEN ok THEN time_total END AS time_total,
+       | CASE WHEN ok THEN time_score END AS time_score,
+       | CASE WHEN ok THEN title_total END AS title_total,
+       | CASE WHEN ok THEN title_score END AS title_score,
+       | CASE WHEN ok THEN sum_total END AS sum_total,
+       | CASE WHEN ok THEN sum_score END AS sum_score,
+       | CASE WHEN ok AND sum_total != 0
+       |   THEN round(sum_score * 100.0 / sum_total, 3) END
+       |  AS sum_percentage,
+       | CASE WHEN NOT ok OR sum_total = 0 OR sum_total IS NULL THEN NULL
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) > 100
+       |    OR round(sum_score * 100.0 / sum_total, 3) < 0
+       |   THEN 'ERROR:invalid percentage'
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) >= 80 THEN 'A'
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) >= 65 THEN 'B'
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) >= 50 THEN 'C'
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) >= 35 THEN 'D'
+       |  WHEN round(sum_score * 100.0 / sum_total, 3) >= 20 THEN 'E'
+       |  ELSE CAST(round(sum_score * 100.0 / sum_total, 3) AS VARCHAR) END
+       |  AS grade
+       |FROM fin ORDER BY path""".stripMargin
+  }
+
   /** DuckDB-runnable ANSI SQL twins; column names/aliases match the Spark
     * results exactly (the driver compare sorts columns by name). */
   def oracleSql: Map[String, String] = Map(
     "q_ets_matrix" -> etsMatrixSql,
+    "q_kpi_matrix" -> kpiMatrixSql,
     "q_agg_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows, min(l_extendedprice) AS min_price,
