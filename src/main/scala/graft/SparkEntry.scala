@@ -75,14 +75,18 @@ object SparkEntry {
     "wcmp_violations" -> ((s, _) =>
       Validator.violations(Validator.validate(RecordTable.fixtures(s)))
         .orderBy("path", "rule_id")),
+    // both summaries read the dumped fixture table so their DuckDB
+    // oracles (aggregations over the matrix SQL) see the same bytes
     "wcmp_ets_summary" -> ((s, _) =>
-      Validator.validate(RecordTable.fixtures(s))
+      Validator.validate(
+        OracleDump.table(s, "records_fix")(RecordTable.fixtures(s)))
         .select(col("path"), col("parse_ok"),
           col("ets_summary.PASSED").as("passed"),
           col("ets_summary.FAILED").as("failed"))
         .orderBy("path")),
     "wcmp_kpi_summary" -> ((s, _) =>
-      Validator.validate(RecordTable.fixtures(s))
+      Validator.validate(
+        OracleDump.table(s, "records_fix")(RecordTable.fixtures(s)))
         .select(col("path"), col("kpi_summary.total").as("total"),
           col("kpi_summary.score").as("score"),
           col("kpi_summary.percentage").as("percentage"),
@@ -474,7 +478,8 @@ object SparkEntry {
     * JSON-null elements to SQL NULL; json_extract_string coerces scalars
     * (floats via double formatting, matching the engine kernel) and
     * minifies containers. */
-  private def etsMatrixSql: String = {
+  private def etsMatrixSql: String = etsMatrixSqlFor(OracleDump.glob("records_ets"))
+  private def etsMatrixSqlFor(glob: String): String = {
     import graft.dims.Dims
     def arrLit(vs: Seq[String]): String =
       vs.distinct.map(v => "'" + v.replace("'", "''") + "'")
@@ -511,7 +516,7 @@ object SparkEntry {
        | -- content for invalid rows (their codes are NULL behind `ok`)
        | SELECT path, CASE WHEN json_valid(content) THEN content END
        |   AS content, json_valid(content) AS ok
-       | FROM read_parquet('${OracleDump.glob("records_ets")}')),
+       | FROM read_parquet('$glob')),
        |f AS (SELECT path, content, ok,
        | json_type(content, '$$.links') = 'ARRAY' AS links_arr,
        | json_type(content, '$$.properties') = 'OBJECT' AS props_ok,
@@ -737,7 +742,8 @@ object SparkEntry {
     * reference quirk mirrored: the kpi_title bulletin -1, the
     * kpi_contacts last-contact email bug, the kpi_pids
     * score-exceeds-total, and the link-pool theme-poisoning rules. */
-  private def kpiMatrixSql: String = {
+  private def kpiMatrixSql: String = kpiMatrixSqlFor(OracleDump.glob("records_ets"))
+  private def kpiMatrixSqlFor(glob: String): String = {
     import graft.dims.Dims
     require(Dims.validMimes.contains("text/html"),
       "K5 null-type entries assume text/html is a valid MIME")
@@ -779,7 +785,7 @@ object SparkEntry {
     s"""WITH r AS (
        | SELECT path, CASE WHEN json_valid(content) THEN content END
        |   AS content, json_valid(content) AS ok
-       | FROM read_parquet('${OracleDump.glob("records_ets")}')),
+       | FROM read_parquet('$glob')),
        |f AS (SELECT path, content, ok,
        | json_extract_string(content, '$$.properties.title') AS title,
        | json_extract_string(content, '$$.properties.description') AS descr,
@@ -1019,6 +1025,44 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ets_matrix" -> etsMatrixSql,
     "q_kpi_matrix" -> kpiMatrixSql,
+    // per-record ETS summary counts = an aggregation over the ETS matrix
+    // evaluated on the dumped fixture table
+    "wcmp_ets_summary" ->
+      s"""WITH m AS (${etsMatrixSqlFor(OracleDump.glob("records_fix"))})
+        | SELECT path, parse_ok,
+        |  CASE WHEN parse_ok THEN
+        |   ((CASE WHEN conformance = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN contacts = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN created_datetime = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN data_policy = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN description = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN extent_geospatial = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN extent_temporal = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN identifier = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN links = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN themes = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN title = 'PASSED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN rtype = 'PASSED' THEN 1 ELSE 0 END)) END AS passed,
+        |  CASE WHEN parse_ok THEN
+        |   ((CASE WHEN conformance = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN contacts = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN created_datetime = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN data_policy = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN description = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN extent_geospatial = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN extent_temporal = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN identifier = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN links = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN themes = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN title = 'FAILED' THEN 1 ELSE 0 END)
+        |   + (CASE WHEN rtype = 'FAILED' THEN 1 ELSE 0 END)) END AS failed
+        | FROM m ORDER BY path""".stripMargin,
+    // per-record KPI summary = the matrix's summary columns on fixtures
+    "wcmp_kpi_summary" ->
+      s"""WITH m AS (${kpiMatrixSqlFor(OracleDump.glob("records_fix"))})
+        | SELECT path, sum_total AS total, sum_score AS score,
+        |  sum_percentage AS percentage, grade
+        | FROM m ORDER BY path""".stripMargin,
     "q_agg_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows, min(l_extendedprice) AS min_price,
