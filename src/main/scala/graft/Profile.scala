@@ -104,18 +104,25 @@ object Profile {
       println(f"[profile] summaries-agg#$i: $s3%.1fs (${n / s3}%.0f rows/s)")
     }
 
-    // 6. plan inspection: JsonToStructs copies across the WHOLE tree
+    // 6. plan inspection: parse-expression copies across the WHOLE tree —
+    // the engine invariant is EXACTLY ONE JsonFacts kernel (and zero
+    // JsonToStructs) per plan; the Generate barrier keeps CollapseProject
+    // from re-inlining it per downstream reference
     def countJson(df: DataFrame, name: String): Unit = {
       val plan = df.queryExecution.optimizedPlan
       var n = 0
+      var facts = 0
       plan.foreach { node =>
         node.expressions.foreach { e =>
           n += e.collect {
             case j: org.apache.spark.sql.catalyst.expressions.JsonToStructs => j
           }.size
+          facts += e.collect {
+            case f: graft.expressions.JsonFacts => f
+          }.size
         }
       }
-      println(s"[profile] $name: JsonToStructs total=$n; " +
+      println(s"[profile] $name: JsonToStructs total=$n; JsonFacts=$facts; " +
         s"projects=${plan.collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project => p }.size}")
     }
     countJson(ets.select(crc32(to_json(col("ets")))), "microbench-ets")
