@@ -758,8 +758,11 @@ object SparkEntry {
     val w = "[\\p{L}\\p{N}_]"
     // the apostrophe inside the class is doubled for SQL string embedding
     val wordRe = s"$w[\\p{L}\\p{N}_'']*$w|$w"
-    val floatRe =
-      "^[+-]?([0-9_]+\\.?[0-9_]*|\\.[0-9_]+)([eE][+-]?[0-9_]+)?$$"
+    // Python float() grammar, kept in sync with Wcmp2Functions.floatLike
+    val floatRe = {
+      val d = "[0-9](?:_?[0-9])*"
+      s"^[+-]?((?i:inf(?:inity)?|nan)|(?:$d(?:\\.(?:$d)?)?|\\.$d)(?:[eE][+-]?$d)?)$$$$"
+    }
     val acronymRe = "\\b([A-Z]{2,}[0-9]*)\\b"
     val bulletinRe = "[A-Z]{4}[0-9]{2}[\\s_]*[A-Z]{4}"
     val alnumRe = "^[\\p{L}\\p{N}]+$$"

@@ -27,7 +27,12 @@ import graft.model.Wcmp2Schema
   *                     semantics, `/root/reference/pywcmp/util.py:203-219`:
   *                     one complete JSON value, nothing trailing;
   *                     duplicate object keys accepted last-wins, matching
-  *                     Python).
+  *                     Python). One DELIBERATE deviation: Python's
+  *                     json.loads accepts the non-standard
+  *                     NaN/Infinity/-Infinity literals; this kernel (like
+  *                     `try_parse_json` before it, and like the DuckDB
+  *                     oracle's `json_valid`) rejects them as strict
+  *                     JSON.
   *  - `props_keys`   — `$.properties` member names in document order
   *                     (`json_object_keys` semantics: null when not an
   *                     object) — the missing-vs-null presence channel a
@@ -428,6 +433,8 @@ object JsonFacts {
     var geomRaw: UTF8String = null
     var geomType: String = null
     var geomPositions: ArrayBuffer[Any] = null
+    var posDepth = -1
+    var posMixed = false
     var propsState = 0
     var propsKeys: ArrayBuffer[Any] = null
     var linksState = 0; var linksCount = 0
@@ -463,7 +470,8 @@ object JsonFacts {
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
-      val pfx = s"$$.links[$i]"
+      // built only on error branches (the all-valid path allocates nothing)
+      def pfx = s"$$.links[$i]"
       if (e == JsonToken.VALUE_NULL) {
         add(out, s"$pfx: is not of type 'object'")
         rec += null
@@ -512,7 +520,7 @@ object JsonFacts {
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
-      val pfx = s"$$.properties.contacts[$i]"
+      def pfx = s"$$.properties.contacts[$i]"
       if (e == JsonToken.VALUE_NULL) {
         add(out, s"$pfx: is not of type 'object'")
         rec += null
@@ -572,7 +580,7 @@ object JsonFacts {
     var i = 0
     var e = p.nextToken()
     while (e != JsonToken.END_ARRAY) {
-      val pfx = s"$$.properties.themes[$i]"
+      def pfx = s"$$.properties.themes[$i]"
       if (e == JsonToken.VALUE_NULL) {
         add(out, s"$pfx: is not of type 'object'")
         rec += null
@@ -592,7 +600,10 @@ object JsonFacts {
           fn match {
             case "concepts" =>
               if (ft != JsonToken.START_ARRAY) {
-                concepts = 2; row(0) = null; skipValue(p, ft)
+                // duplicate-key last-wins: drop any per-concept errors
+                // collected from an earlier occurrence
+                concepts = 2; conceptErrs = null; conceptCount = 0
+                row(0) = null; skipValue(p, ft)
               } else {
                 concepts = 1
                 conceptErrs = new ArrayBuffer[Any](0)
@@ -601,7 +612,7 @@ object JsonFacts {
                 var cFailed = false
                 var c = p.nextToken()
                 while (c != JsonToken.END_ARRAY) {
-                  val cp = s"$pfx.concepts[$conceptCount]"
+                  def cp = s"$pfx.concepts[$conceptCount]"
                   if (c == JsonToken.VALUE_NULL) {
                     add(conceptErrs, s"$cp: is not of type 'object'")
                     crec += null
@@ -657,14 +668,17 @@ object JsonFacts {
   }
 
   /** `$.geometry` object walk: type + the flattened position list
-    * (shapely-equivalent: every innermost numeric array of `coordinates`
-    * is one position, in document order — Point/LineString/MultiPoint/
-    * Polygon/MultiLineString/MultiPolygon all flatten to this; an
-    * unrecognized `type` yields null positions like the declarative
-    * per-type CaseWhen in GeoFunctions). Pathological depth-mismatched
-    * coordinates yield the best-effort position list rather than the
-    * declarative version's partial-null artifacts (outcome-equal for the
-    * E4 bounds check). */
+    * (shapely-equivalent: Point/LineString/MultiPoint/Polygon/
+    * MultiLineString/MultiPolygon flatten to a list of [x,y(,z)]
+    * positions; an unrecognized `type` yields null positions like the
+    * declarative per-type CaseWhen in GeoFunctions). Positions are
+    * DEPTH-GATED per type (Point positions live at coordinate depth 1,
+    * LineString/MultiPoint at 2, Polygon/MultiLineString at 3,
+    * MultiPolygon at 4): depth-mismatched coordinates yield NULL
+    * positions, which keeps the E4 bounds outcome identical to the
+    * declarative fixed-depth `from_json` parses and to the DuckDB matrix
+    * oracle (all three PASS such records — the bounds predicate over a
+    * null/partial position list is null). */
   private def walkGeometry(p: JsonParser, w: Walk): Unit = {
     w.geomType = null; w.geomPositions = null
     var coords: ArrayBuffer[Any] = null
@@ -677,22 +691,39 @@ object JsonFacts {
           skipValue(p, ft)
         case "coordinates" =>
           if (ft != JsonToken.START_ARRAY) { coords = null; skipValue(p, ft) }
-          else { coords = new ArrayBuffer[Any](8); collectPositions(p, coords) }
+          else {
+            coords = new ArrayBuffer[Any](8)
+            w.posDepth = -1; w.posMixed = false
+            collectPositions(p, coords, 1, w)
+          }
         case _ => skipValue(p, ft)
       }
       fn = p.nextFieldName()
     }
-    if (w.geomType != null && GeomTypes.contains(w.geomType) && coords != null)
+    val expected = w.geomType match {
+      case "Point" => 1
+      case "LineString" | "MultiPoint" => 2
+      case "Polygon" | "MultiLineString" => 3
+      case "MultiPolygon" => 4
+      case _ => -1
+    }
+    if (expected > 0 && coords != null && !w.posMixed &&
+        (coords.isEmpty || w.posDepth == expected))
       w.geomPositions = coords
   }
 
-  /** Inside an open array: recurse into nested arrays; a maximal array of
-    * scalars is one position (non-numeric scalars become null ordinates). */
-  private def collectPositions(p: JsonParser, out: ArrayBuffer[Any]): Unit = {
+  /** Inside an open array at `depth` (coordinates root = 1): recurse into
+    * nested arrays; a maximal array of scalars is one position
+    * (non-numeric scalars become null ordinates). Records the common
+    * position depth for the caller's per-type gate. */
+  private def collectPositions(p: JsonParser, out: ArrayBuffer[Any],
+                               depth: Int, w: Walk): Unit = {
     var t = p.nextToken()
     if (t == JsonToken.END_ARRAY) return
     if (t != JsonToken.START_ARRAY) {
       // this array is itself a position
+      if (w.posDepth < 0) w.posDepth = depth
+      else if (w.posDepth != depth) w.posMixed = true
       val pos = new ArrayBuffer[Any](4)
       while (t != JsonToken.END_ARRAY) {
         if (t == JsonToken.VALUE_NUMBER_INT ||
@@ -704,7 +735,7 @@ object JsonFacts {
       out += new GenericArrayData(pos.toArray)
     } else {
       while (t != JsonToken.END_ARRAY) {
-        if (t == JsonToken.START_ARRAY) collectPositions(p, out)
+        if (t == JsonToken.START_ARRAY) collectPositions(p, out, depth + 1, w)
         else skipValue(p, t)
         t = p.nextToken()
       }
@@ -874,7 +905,17 @@ object JsonFacts {
                 }
               case "properties" =>
                 if (vt != JsonToken.START_OBJECT) {
+                  // duplicate-key last-wins: a mistyped re-occurrence
+                  // discards the earlier object's member states AND its
+                  // per-item diagnostics (gateErrors appends them
+                  // unconditionally)
                   w.propsState = 2; w.propsKeys = null; w.recProps = null
+                  w.titleState = 0; w.descState = 0
+                  w.ptypeState = 0; w.createdState = 0
+                  w.contactsState = 0; w.contactsCount = 0
+                  w.contactsErrs = null; w.contactsRec = null
+                  w.themesState = 0; w.themesCount = 0
+                  w.themesErrs = null; w.themesRec = null
                   skipValue(p, vt)
                 } else { w.propsState = 1; walkProps(p, w) }
               case "links" =>
@@ -897,7 +938,10 @@ object JsonFacts {
         if (p.nextToken() != null) return FAILED
       } finally p.close()
     } catch {
-      case scala.util.control.NonFatal(_) => return FAILED
+      // only parser-level failures are parse errors (json.loads
+      // semantics); a defect in the walk code itself must fail loudly,
+      // not masquerade as malformed input
+      case _: java.io.IOException => return FAILED
     }
     val rec = new Array[Any](7)
     rec(0) = w.recId

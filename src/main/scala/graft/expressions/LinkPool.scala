@@ -81,13 +81,16 @@ case class LinkPoolExpr(first: Expression, second: Expression,
       case ArrayType(_: StructType, _) => true
       case _ => false
     }
-    if (children.forall(arrayOfStruct))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .DataTypeMismatch(errorSubClass = "UNEXPECTED_INPUT_TYPE",
-        messageParameters = Map("paramIndex" -> "1",
-          "requiredType" -> "\"ARRAY<STRUCT>\"",
-          "inputSql" -> first.sql, "inputType" -> first.dataType.sql))
+    children.zipWithIndex.find { case (c, _) => !arrayOfStruct(c) } match {
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case Some((c, i)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .DataTypeMismatch(errorSubClass = "UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map("paramIndex" -> (i + 1).toString,
+              "requiredType" -> "\"ARRAY<STRUCT>\"",
+              "inputSql" -> c.sql, "inputType" -> c.dataType.sql))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

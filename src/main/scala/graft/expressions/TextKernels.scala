@@ -31,9 +31,11 @@ object TextKernels {
   private val tokenRe = Pattern.compile("(?U)\\w[\\w']*\\w|\\w")
 
   /** float-parseable per Python `float()` — such tokens are never
-    * spell-checked (pyspellchecker `_check_if_should_check`). */
-  private val floatRe = Pattern.compile(
-    "^[+-]?([0-9_]+\\.?[0-9_]*|\\.[0-9_]+)([eE][+-]?[0-9_]+)?$")
+    * spell-checked (pyspellchecker `_check_if_should_check`). Shares the
+    * declarative impl's pattern (Python grammar: underscores only between
+    * digits; inf/infinity/nan literals). */
+  private val floatRe =
+    Pattern.compile(graft.functions.Wcmp2Functions.floatLike)
 
   private lazy val dictionary: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](16384)

@@ -67,9 +67,14 @@ object Wcmp2Functions {
 
   /** float-parseable per Python `float()` — checked with a REGEX, not
     * `try_cast`: a cast failure raises (and swallows) a stack-filling JVM
-    * exception per token, which profiling showed dominating the hot path. */
-  private val floatLike =
-    "^[+-]?([0-9_]+\\.?[0-9_]*|\\.[0-9_]+)([eE][+-]?[0-9_]+)?$"
+    * exception per token, which profiling showed dominating the hot path.
+    * Python's grammar: digit groups with underscores only BETWEEN digits,
+    * plus the case-insensitive inf/infinity/nan literals
+    * (float() also strips whitespace, but tokenizer output has none). */
+  private[graft] val floatLike = {
+    val d = "[0-9](?:_?[0-9])*"
+    s"^[+-]?((?i:inf(?:inity)?|nan)|(?:$d(?:\\.(?:$d)?)?|\\.$d)(?:[eE][+-]?$d)?)$$"
+  }
 
   def misspelled(text: Column): Column = {
     val toks = spellTokens(text)
