@@ -89,17 +89,8 @@ import graft.model.Wcmp2Schema
   *    `rec` (from_json's malformed-input convention) and null channels
   *    (the gate is only read behind the engine's `parse_ok` guard).
   */
-case class JsonFacts(child: Expression) extends UnaryExpression {
+case class JsonFacts(child: Expression) extends StringInputExpr {
   override def dataType: DataType = JsonFacts.schema
-  override def checkInputDataTypes() = {
-    if (child.dataType.isInstanceOf[StringType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .DataTypeMismatch(errorSubClass = "UNEXPECTED_INPUT_TYPE",
-        messageParameters = Map("paramIndex" -> "1",
-          "requiredType" -> "\"STRING\"",
-          "inputSql" -> child.sql, "inputType" -> child.dataType.sql))
-  }
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
     JsonFacts.facts(input.asInstanceOf[UTF8String])

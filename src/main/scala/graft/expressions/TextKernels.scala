@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -88,17 +88,8 @@ object TextKernels {
 }
 
 /** `array<string>` of misspelled tokens — see [[TextKernels]]. */
-case class Misspelled(child: Expression) extends UnaryExpression {
+case class Misspelled(child: Expression) extends StringInputExpr {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes() = {
-    if (child.dataType.isInstanceOf[StringType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .DataTypeMismatch(errorSubClass = "UNEXPECTED_INPUT_TYPE",
-        messageParameters = Map("paramIndex" -> "1",
-          "requiredType" -> "\"STRING\"",
-          "inputSql" -> child.sql, "inputType" -> child.dataType.sql))
-  }
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
     TextKernels.misspelledTokens(input.asInstanceOf[UTF8String])
@@ -111,20 +102,11 @@ case class Misspelled(child: Expression) extends UnaryExpression {
 }
 
 /** struct(words array<string>, stripped string) — see [[TextKernels]]. */
-case class TitleWords(child: Expression) extends UnaryExpression {
+case class TitleWords(child: Expression) extends StringInputExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("words", ArrayType(StringType, containsNull = false),
       nullable = false),
     StructField("stripped", StringType, nullable = false)))
-  override def checkInputDataTypes() = {
-    if (child.dataType.isInstanceOf[StringType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .DataTypeMismatch(errorSubClass = "UNEXPECTED_INPUT_TYPE",
-        messageParameters = Map("paramIndex" -> "1",
-          "requiredType" -> "\"STRING\"",
-          "inputSql" -> child.sql, "inputType" -> child.dataType.sql))
-  }
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
     TextKernels.titleWords(input.asInstanceOf[UTF8String])
