@@ -23,6 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Run StreamingSpec in its own forked JVM: stateful streaming queries own
+// RPC endpoints whose shutdown can race the shared session's executor
+// heartbeater (the round-3 exit-56 flake). Isolation bounds the blast
+// radius; the heartbeat conf in TestSpark makes the killer unreachable.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts  = (Test / javaOptions).value.toVector
+  val fo    = ForkOptions().withRunJVMOptions(opts)
+  val (streaming, core) = tests.partition(_.name.contains("StreamingSpec"))
+  Seq(
+    Tests.Group("core", core, Tests.SubProcess(fo)),
+    Tests.Group("streaming", streaming, Tests.SubProcess(fo)),
+  ).filter(_.tests.nonEmpty)
+}
+// one forked test JVM at a time (each takes a large heap)
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput GC: the validator is allocation-heavy (interpreted
   // higher-order functions); G1's concurrent cycles throttle 32-thread

@@ -49,24 +49,38 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** rows/sec of the full row-local constraint suite at `rows` scale.
+  /** Per-pass rows/sec of the full row-local constraint suite at `rows`
+    * scale (all passes returned so the artifact is self-describing under
+    * neighbor load — high pass variance flags a noisy box).
     * Warmup runs at FULL size: a 2k-row warmup compiles codegen but the
     * first full-size runs still pay JIT tiering of the generated classes
     * (measured ~3x low in round 1's driver artifact), so the measured
-    * best-of-two only starts after one complete full-size pass — the same
+    * best-of only starts after one complete full-size pass — the same
     * protocol [[Scaling]] uses via its double call. */
-  def validatorThroughput(spark: SparkSession, rows: Long): Double = {
+  def validatorPasses(spark: SparkSession, rows: Long,
+                      passes: Int = 3, warm: Boolean = true): Seq[Double] = {
     val records = RecordTable.synthesize(spark, rows)
-    val (warmN, _) = time(forceAll(Validator.validate(records)))
-    require(warmN == rows, s"expected $rows rows, got $warmN")
-    val runs = (1 to 3).map { _ =>
+    if (warm) {
+      val (warmN, _) = time(forceAll(Validator.validate(records)))
+      require(warmN == rows, s"expected $rows rows, got $warmN")
+    }
+    (1 to passes).map { _ =>
       val (n, sec) = time(forceAll(Validator.validate(records)))
       require(n == rows, s"expected $rows rows, got $n")
       System.err.println(f"[bench] validator pass ${rows / sec}%.0f rows/s")
       rows / sec
     }
-    runs.max
   }
+
+  def validatorThroughput(spark: SparkSession, rows: Long): Double =
+    validatorPasses(spark, rows).max
+
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  private def jsonArr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,8 +88,9 @@ object Bench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS",
       if (sfDir.endsWith("0.1")) "200000" else "20000").toLong
     val spark = session(cpus)
+    val load0 = loadAvg()
 
-    val throughput = validatorThroughput(spark, rows)
+    val passes1 = validatorPasses(spark, rows)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -88,8 +103,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Re-check after the query suite: if a neighbor burst corrupted the
+    // first block (round 3's artifact read 6k rows/s against a 46-90k
+    // reality), the later block usually lands in a different load window.
+    // Headline = max over both blocks; per-pass arrays + load averages
+    // make a still-corrupted number self-describing.
+    val passes2 = validatorPasses(spark, rows, passes = 2, warm = false)
+    val load1 = loadAvg()
+    val all = passes1 ++ passes2
+    val throughput = all.max
+
     println(s"""{"metric":"validator_rows_per_sec","value":$throughput,""" +
       s""""unit":"rows/sec","validated_rows":$rows,"cpus":$cpus,""" +
+      s""""validator_passes":${jsonArr(passes1)},""" +
+      s""""validator_recheck_passes":${jsonArr(passes2)},""" +
+      f""""load_avg_start":$load0%.1f,"load_avg_end":$load1%.1f,""" +
       s""""queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -55,7 +55,12 @@ object SparkEntry {
     * sf-dir file otherwise). The generator is seed-free deterministic, so
     * re-writing on a fresh JVM reproduces identical content. */
   private object OracleDump {
-    val dir = "/tmp/graft_oracle_tables"
+    // per-process dir: two concurrent driver JVMs on a shared box must not
+    // overwrite each other's parquet mid-oracle-read. The oracle SQL this
+    // JVM generates embeds this JVM's globs, so the pairing stays exact;
+    // the dir outlives the JVM for the driver's separate DuckDB pass.
+    val dir =
+      s"/tmp/graft_oracle_tables_${ProcessHandle.current().pid()}"
     /** the read_parquet glob the oracle SQL uses for table `name` */
     def glob(name: String): String = s"$dir/$name.parquet/*.parquet"
     private val written = scala.collection.mutable.Set[String]()
@@ -312,6 +317,27 @@ object SparkEntry {
         .where(col("prev").isNotNull)
         .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
       Dedup.components(pairs).orderBy("id")
+    }),
+    // end-to-end dedup composition (exact canon -> near-dup pairs ->
+    // components -> keep/duplicate_of), oracle-checked: exact duplicates
+    // injected by re-keying the first 10 docs, near-dup pairs from a
+    // DETERMINISTIC chain construction over the exact survivors (the LSH
+    // generator is oracled separately via its exact-Jaccard twin)
+    "q_dedup_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val docs = base.unionByName(base.where(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val pairsOf = (canon: DataFrame) => {
+        val w = Window.partitionBy("g").orderBy("doc_id")
+        canon.select(md5(substring(col("text"), 1, 40)).as("g"),
+            col("doc_id"))
+          .withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      }
+      Dedup.dedupCorpus(docs, pairsOf = pairsOf)
+        .select("doc_id", "keep", "duplicate_of").orderBy("doc_id")
     }),
     // the synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.4), so the demo threshold is set where candidates exist; the
@@ -647,7 +673,16 @@ object SparkEntry {
        |        AND json_array_length(content, '$$.properties.themes') = 0)))
        |  OR (links_arr AND gate_links_item)
        |  OR (props_ok AND contacts_arr AND gate_contacts_item)
-       |  OR (props_ok AND themes_arr AND gate_themes_item)) AS gate_fail,
+       |  OR (props_ok AND themes_arr AND gate_themes_item)
+       |  -- pattern (string instances only): the WCMP2 id URN prefix
+       |  OR (json_type(content, '$$.id') = 'VARCHAR'
+       |      AND NOT starts_with(rid, 'urn:wmo:md:'))
+       |  -- uniqueItems over conformsTo's coerced string leaves
+       |  -- (list_distinct drops NULLs, so compare against non-null count)
+       |  OR (json_type(content, '$$.conformsTo') = 'ARRAY'
+       |      AND len(list_distinct(conforms))
+       |          != len(list_filter(conforms, x -> x IS NOT NULL)))
+       |  ) AS gate_fail,
        | (rid IS NOT NULL AND (
        |   len(string_split(rid, ':')) < 5
        |   OR NOT starts_with(rid, 'urn:wmo:md:')
@@ -1231,6 +1266,33 @@ object SparkEntry {
         |   UNION
         |   SELECT e.a, c.lbl FROM edges e JOIN closure c ON c.id = e.b)
         | SELECT id, min(lbl) AS component FROM closure GROUP BY id""".stripMargin,
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE
+        | base AS (SELECT doc_id, text FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+        | ex AS (SELECT doc_id, text,
+        |   min(doc_id) OVER (PARTITION BY text) AS exact_canon FROM base),
+        | canon AS (SELECT doc_id, text FROM ex
+        |   WHERE doc_id = exact_canon),
+        | grp AS (SELECT md5(substr(text, 1, 40)) AS g, doc_id FROM canon),
+        | ordered AS (SELECT g, doc_id, lag(doc_id) OVER (
+        |   PARTITION BY g ORDER BY doc_id) AS prev FROM grp),
+        | p AS (SELECT prev AS id_a, doc_id AS id_b FROM ordered
+        |   WHERE prev IS NOT NULL),
+        | edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |   UNION ALL SELECT id_b, id_a FROM p),
+        | closure(id, lbl) AS (
+        |   SELECT a, least(a, b) FROM edges
+        |   UNION
+        |   SELECT e.a, c.lbl FROM edges e JOIN closure c ON c.id = e.b),
+        | comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)
+        |SELECT ex.doc_id,
+        | coalesce(comp.component, ex.exact_canon) = ex.doc_id AS keep,
+        | CASE WHEN coalesce(comp.component, ex.exact_canon) <> ex.doc_id
+        |      THEN coalesce(comp.component, ex.exact_canon)
+        | END AS duplicate_of
+        |FROM ex LEFT JOIN comp ON comp.id = ex.exact_canon""".stripMargin,
     "q_cosine_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

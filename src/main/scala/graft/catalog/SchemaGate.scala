@@ -48,6 +48,31 @@ import org.apache.spark.sql.types.StringType
   *    required string `id` (OGC API - Records `theme.yaml` requires
   *    concepts+scheme; concepts items require `id`)
   *
+  * Draft 2020-12 keyword classes beyond required/type/enum/minItems:
+  *
+  *  - `pattern` — the `id` URN prefix `^urn:wmo:md:` (the WCMP2
+  *    identifier syntax requirement). Deliberately prefix-only: the
+  *    reference's own expectations prove the bundled schema ACCEPTS
+  *    records whose local identifier is empty or contains spaces — those
+  *    fixtures fail only the ETS identifier test
+  *    (`/root/reference/tests/run_tests.py:148-181`), so any stricter
+  *    schema-level pattern would diverge from `iter_errors`.
+  *  - `uniqueItems` — `conformsTo` (duplicate conformance-class
+  *    declarations), compared over coerced string leaves; null leaves
+  *    (containers / JSON nulls) are excluded from the comparison.
+  *  - `format` — deliberately NOT enforced, and that IS the parity: in
+  *    Draft 2020-12 `format` is an annotation, not an assertion, unless a
+  *    format checker is supplied, and the reference constructs
+  *    `Draft202012Validator(json.load(fh))` with no `format_checker`
+  *    (`ets.py:137`) — so a malformed `links[i].href` URI raises no
+  *    schema error in pywcmp either (SchemaGateSpec asserts this
+  *    non-enforcement).
+  *  - `additionalProperties` and any further constraints of the
+  *    runtime-fetched `wcmp2-bundled.json` (the schema is downloaded by
+  *    `bundle.py:54-112` and is not shipped in the reference repo, so it
+  *    cannot be consulted in this zero-egress environment) remain the
+  *    documented residue.
+  *
   * Per-item presence/type checks are emitted by the same facts-kernel
   * tokenize pass (missing member vs explicit JSON null distinguished
   * during the walk — the channel the earlier `array<variant>`-slice

@@ -184,8 +184,16 @@ object JsonFacts {
   private val StrProp: Map[String, UTF8String] = PropMembers.take(4).map(m =>
     m -> u(s"$$.properties.$m: is not of type 'string'")).toMap
   private val IdNotString = u("$.id: is not of type 'string'")
+  // Draft 2020-12 `pattern` (assertive, unlike `format` — see SchemaGate):
+  // the WCMP2 identifier URN prefix. Kept deliberately loose (prefix only):
+  // the reference's own tests prove the bundled schema passes records whose
+  // local identifier is empty or contains spaces
+  // (/root/reference/tests/run_tests.py:148-181 — those records fail ONLY
+  // the ETS identifier test), so any stricter pattern would diverge.
+  private val IdUrnPrefix = "urn:wmo:md:"
   private val ConformsNotArray = u("$.conformsTo: is not of type 'array'")
   private val ConformsNoCore = u(s"$$.conformsTo: does not contain '$Core'")
+  private val ConformsNotUnique = u("$.conformsTo: has non-unique elements")
   private val TypeNotFeature = u("$.type: 'Feature' was expected")
   private val TimeNotObj = u("$.time: is not of type 'object', 'null'")
   private val GeomNotObj = u("$.geometry: is not of type 'object', 'null'")
@@ -782,6 +790,32 @@ object JsonFacts {
     w.recProps = new GenericInternalRow(row)
   }
 
+  /** Duplicate detection over an array's COERCED string leaves (the same
+    * leaf view both the kernel and the DuckDB twin hold: scalars coerced
+    * to text, containers/nulls -> null). Null elements are excluded —
+    * jsonschema would count two JSON nulls as non-unique, but a null leaf
+    * here may also be a container, so flagging null pairs would
+    * false-positive on arrays of distinct objects. Arrays are tiny
+    * (conformsTo: a handful of conformance classes); O(n^2) beats a
+    * per-row hash-set allocation. */
+  private def hasDupLeaf(a: GenericArrayData): Boolean = {
+    if (a == null) return false
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val x = a.array(i)
+      if (x != null) {
+        var j = i + 1
+        while (j < n) {
+          if (x == a.array(j)) return true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   /** The gate's error array in canonical constraint order (the order of
     * the previous Catalyst `checks` Seq, then links / contacts / themes
     * item diagnostics). */
@@ -790,9 +824,18 @@ object JsonFacts {
     // root-level members
     if (w.idState == 0) out += ReqRoot("id")
     else if (w.idState == 2) out += IdNotString
+    else if (w.recId != null && !w.recId.toString.startsWith(IdUrnPrefix))
+      // pattern applies to string instances only (JSON Schema semantics);
+      // message mirrors jsonschema's "'{instance}' does not match
+      // '{pattern}'" shape
+      add(out, s"$$.id: '${w.recId.toString}' does not match '^urn:wmo:md:'")
     if (w.confState == 0) out += ReqRoot("conformsTo")
     else if (w.confState == 2) out += ConformsNotArray
     else if (!w.confHasCore) out += ConformsNoCore
+    // uniqueItems is orthogonal to the contains-core chain above: an array
+    // can hold the core class twice (passes contains, fails uniqueItems)
+    if (w.confState == 1 && hasDupLeaf(w.recConformsTo))
+      out += ConformsNotUnique
     if (w.typeState == 0) out += ReqRoot("type")
     else if (w.typeText == null || w.typeText != "Feature")
       out += TypeNotFeature

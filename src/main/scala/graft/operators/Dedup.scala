@@ -40,15 +40,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** Result caches still owned by this operator family (see the cache
-    * lifecycle contract above). */
+  /** Release actions for result caches still owned by this operator
+    * family (see the cache lifecycle contract above) — DataFrame
+    * unpersists for frame-level caches, RDD unpersists for the
+    * lineage-truncated iterative results ([[components]]). */
   private val resultCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist + register a RESULT frame (caller-visible cache). */
   private def owned(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    resultCaches.add(df)
+    resultCaches.add(() => { df.unpersist(); () })
     df
   }
 
@@ -58,8 +60,8 @@ object Dedup {
     * Unpersisting is safe at any point — frames remain correct, they just
     * recompute if consumed again. */
   def releaseCaches(): Unit = {
-    var df = resultCaches.poll()
-    while (df != null) { df.unpersist(); df = resultCaches.poll() }
+    var f = resultCaches.poll()
+    while (f != null) { f(); f = resultCaches.poll() }
   }
 
   /** whitespace tokens, lowercased */
@@ -241,13 +243,20 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    candidates.count() // materialize so the band-row cache can be freed
-    bandRows.unpersist()
     val (jac, sh) = verifiedJaccard(df, candidates, textCol, idCol, shingleN)
     val verified = owned(jac
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard"))
-    verified.count() // materialize so candidate/shingle caches can be freed
+    // ONE materialization barrier: every reference to bandRows/candidates/
+    // sh in the plan is the same persisted instance (one shared
+    // InMemoryRelation each), so this single job computes each exactly
+    // once and fills its cache in passing — the round-3 shape (an eager
+    // count() per intermediate) serialized formerly-overlapping stages
+    // and doubled fixed job latency at toy scale (q_minhash_pairs
+    // 2.3s -> 4.7s). After the barrier the result cache is full, so the
+    // intermediates release safely (lifecycle contract unchanged).
+    verified.count()
+    bandRows.unpersist()
     candidates.unpersist()
     sh.unpersist()
     verified
@@ -449,17 +458,38 @@ object Dedup {
     * wrong labels (non-converged labels under-delete transitive
     * duplicates downstream).
     *
-    * Per-round frames are persisted and the previous round unpersisted —
-    * lineage stays O(1) deep. The returned labels frame is the operator's
-    * result cache (see the cache lifecycle contract). */
+    * Per-round LINEAGE TRUNCATION: round n+1's plan references round n
+    * three times (neighbor join, pointer-jump self-join, base), so
+    * without truncation the LOGICAL plan tree more than doubles per round
+    * — persist caches the data but analysis, AQE plan-description events
+    * and codegen still walk the exponentially-growing tree (observed:
+    * minutes of pure driver CPU by round 10 on toy inputs). Each round is
+    * therefore rebuilt over its materialized row RDD (row-copied,
+    * persisted, wrapped via the same internal entry point
+    * `Dataset.localCheckpoint` uses), pinning plan AND lineage at O(1),
+    * while keeping ONE Spark job per round: the convergence aggregate is
+    * the action that materializes the round's blocks. The returned labels
+    * frame is backed by the final round's RDD cache, registered with the
+    * operator registry (see the cache lifecycle contract). */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graft.shims
+    val spark = pairs.sparkSession
+    def truncated(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      // copy: codegen reuses its UnsafeRow buffer, so persisting the raw
+      // iterator's references would alias every row in a partition
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (shims.internalDf(spark, rdd, df.schema), rdd)
+    }
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(min("b").as("_minb"))
-      .select(col("id"), least(col("id"), col("_minb")).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (labels, labelsRdd) = truncated(
+      edges.groupBy(col("a").as("id"))
+        .agg(min("b").as("_minb"))
+        .select(col("id"), least(col("id"), col("_minb")).as("component")))
+    labels.count() // materialize round-0 blocks
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -471,36 +501,36 @@ object Dedup {
       // pointer jump: my label's current label (labels self-join)
       val viaParent = labels.select(col("id").as("_pid"),
         col("component").as("parent_component"))
-      val next = labels.select(col("id"), col("component").as("old"))
-        .join(viaNeighbors, Seq("id"), "left")
-        .join(viaParent, col("old") === col("_pid"), "left")
-        .select(col("id"),
-          least(col("old"),
-            coalesce(col("nbr_component"), col("old")),
-            coalesce(col("parent_component"), col("old"))).as("component"),
-          col("old"))
-        .select(col("id"), col("component"),
-          (col("component") < col("old")).as("_changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE job: the full aggregate materializes every cached partition
-      // (a limit-style probe could leave partitions partially computed
-      // and therefore uncached) and returns the changed count
+      val (next, nextRdd) = truncated(
+        labels.select(col("id"), col("component").as("old"))
+          .join(viaNeighbors, Seq("id"), "left")
+          .join(viaParent, col("old") === col("_pid"), "left")
+          .select(col("id"),
+            least(col("old"),
+              coalesce(col("nbr_component"), col("old")),
+              coalesce(col("parent_component"), col("old"))).as("component"),
+            col("old"))
+          .select(col("id"), col("component"),
+            (col("component") < col("old")).as("_changed")))
+      // ONE job: the full aggregate computes (and thereby persists) every
+      // partition of the round's RDD and returns the changed count
       val changed = next
         .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
-      labels.unpersist()
-      labels = next
+      labelsRdd.unpersist(blocking = false)
+      labels = next; labelsRdd = nextRdd
       converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
     if (!converged) {
-      labels.unpersist()
+      labelsRdd.unpersist(blocking = false)
       throw new IllegalStateException(
         s"components: labels still changing after $maxIter rounds — " +
           "refusing to return non-converged (silently wrong) labels")
     }
-    resultCaches.add(labels) // persisted result cache (3 cols incl. _changed)
+    val finalRdd = labelsRdd
+    resultCaches.add(() => { finalRdd.unpersist(blocking = false); () })
     labels.select("id", "component")
   }
 
@@ -510,9 +540,15 @@ object Dedup {
     * training-data pipeline filters on (`where(col("keep"))`). The
     * exact stage removes mass duplication first, so the LSH stage's
     * bucket caps only ever see the long tail. */
+  /** @param pairsOf near-dup pair generator over the exact-canonical
+    *        survivors, `(id_a, id_b)`-shaped; defaults to [[minhashLsh]].
+    *        Injectable so the composition itself is oracle-checkable with
+    *        a DETERMINISTIC pair construction (LSH banding has no DuckDB
+    *        twin; its verification metric is oracled separately). */
   def dedupCorpus(df: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", threshold: Double = 0.7,
-                  maxBucket: Int = 200): DataFrame = {
+                  maxBucket: Int = 200,
+                  pairsOf: DataFrame => DataFrame = null): DataFrame = {
     val exactGroups = exact(df, textCol, idCol)
       .select(col("content_sha"), col("keep_id"))
     val withSha = df.withColumn("_sha", sha2(col(textCol), 256))
@@ -524,8 +560,9 @@ object Dedup {
       .drop("content_sha", "keep_id")
     // near-dup pairs over exact-canonical docs only
     val canonDocs = exactCanon.where(col(idCol) === col("_exact_canon"))
-    val pairs = minhashLsh(canonDocs, textCol, idCol,
-      threshold = threshold, maxBucket = maxBucket)
+    val pairs = Option(pairsOf).map(_(canonDocs)).getOrElse(
+      minhashLsh(canonDocs, textCol, idCol,
+        threshold = threshold, maxBucket = maxBucket))
     val comp = components(pairs)
     // components() materialized its labels; the pair cache is no longer
     // needed — the decision table below reads only the labels cache

@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * CONTAINER metadata is decoded for real across all three modalities:
   * images ([[decodeImage]]: PNG/GIF/BMP fixed layouts + JPEG SOF walk),
   * audio ([[decodeWav]]: RIFF chunk walk) and video ([[decodeMp4]]:
-  * ISO-BMFF box walk). What remains a STUB (`decodeStub`/
-  * [[featurizeStub]]) is sample/pixel DATA decode — this container has
-  * no codec libraries — exercised through a deterministic fake container
-  * embedded by [[attachFakeMedia]]. In production the stub body is
-  * replaced by a real codec behind the same column signature
+  * ISO-BMFF box walk). PNG pixel DATA is decoded for real too
+  * ([[decodePngPixels]]: JDK-zlib IDAT inflate + filter reconstruction).
+  * What remains a STUB (`decodeStub`/[[featurizeStub]]) is LOSSY-codec
+  * sample/pixel decode (JPEG pixels, audio samples, video frames) — this
+  * container has no codec libraries — exercised through a deterministic
+  * fake container embedded by [[attachFakeMedia]]. In production the stub
+  * body is replaced by a real codec behind the same column signature
   * (binary -> struct), or by an Arrow-batched `mapPartitions` against a
   * native library; nothing upstream or downstream changes.
   */
@@ -117,6 +119,18 @@ object Multimodal {
           lit(1).as("n_frames")))
       .otherwise(lit(null).cast(mediaMetaType))
   }
+
+  /** REAL pixel decode for PNG (the one raster format whose only codec
+    * dependency — zlib inflate — ships in the JDK): IDAT inflate + full
+    * scanline filter reconstruction via the codegen'd
+    * [[graft.expressions.PngPixels]] expression. Returns
+    * `(width, height, channels, pixels)` with the raw defiltered raster
+    * bytes, or null for non-PNG / unsupported PNG variants (see the
+    * expression's declared subset) / decompression bombs. With this, the
+    * remaining multimodal stub is LOSSY codecs only (JPEG pixels, audio
+    * samples, video frames). */
+  def decodePngPixels(media: Column): Column =
+    graft.expressions.PngPixels.pngPixels(media)
 
   /** REAL audio-container decode: WAV/RIFF chunk walk (channels, sample
     * rate, bit depth, sample count, duration) via the codegen'd

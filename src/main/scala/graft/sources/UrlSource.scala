@@ -67,35 +67,60 @@ object UrlSource {
   }
 
   /** Production probe transport — the `check_url` analog
-    * (`/root/reference/pywcmp/util.py:149-200`): accessible = the request
-    * completes without error (the reference counts any urlopen exception
-    * as inaccessible), mime = the response Content-Type stripped of
-    * parameters. HTTP(S) sends HEAD (the reference GETs and discards the
-    * body; HEAD is the wire-frugal equivalent) and requires status < 400;
-    * other schemes (file:// in the zero-egress tests — the same code
-    * path) open the stream to prove existence. */
-  case class JavaNetProber(timeoutMs: Int = 30000) extends UrlProber {
+    * (`/root/reference/pywcmp/util.py:149-200`): the reference GETs via
+    * `urlopen` (which follows redirects, including http->https) and scores
+    * accessible iff the FINAL response's `status < 300`, mime = the final
+    * Content-Type stripped of parameters; any exception -> inaccessible.
+    * Here: HEAD first (wire-frugal at corpus scale), falling back to a
+    * body-discarding GET when the server rejects HEAD (405 is common —
+    * the reference never sends HEAD, so a HEAD failure alone must not
+    * score a GET-accessible link inaccessible). `HttpURLConnection`
+    * follows same-protocol redirects itself but refuses cross-protocol
+    * hops, so 3xx responses with a Location are re-requested manually,
+    * bounded by `maxRedirects`. Non-HTTP schemes (file:// in the
+    * zero-egress tests — the same code path) open the stream to prove
+    * existence, mirroring the reference's non-http branch
+    * (`util.py:194`: scheme not in (http, https) -> accessible=True). */
+  case class JavaNetProber(timeoutMs: Int = 30000,
+                           maxRedirects: Int = 10) extends UrlProber {
     private def mimeOf(ct: String): String =
       Option(ct).map(_.split(";")(0).trim).filter(_.nonEmpty).orNull
-    def probe(url: String): (Boolean, String) =
-      try {
-        val conn = new URI(url).toURL.openConnection()
-        conn.setConnectTimeout(timeoutMs)
-        conn.setReadTimeout(timeoutMs)
-        conn match {
-          case h: HttpURLConnection =>
-            h.setInstanceFollowRedirects(true)
-            h.setRequestMethod("HEAD")
-            h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
-            val ok = h.getResponseCode < 400
+    private def request(url: String, method: String,
+                        hops: Int): (Boolean, String) = {
+      val conn = new URI(url).toURL.openConnection()
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn match {
+        case h: HttpURLConnection =>
+          h.setInstanceFollowRedirects(true)
+          h.setRequestMethod(method)
+          h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
+          val status = h.getResponseCode
+          val loc = h.getHeaderField("Location")
+          if (status >= 300 && status < 400 && loc != null && hops > 0) {
+            h.disconnect() // cross-protocol redirect: follow manually
+            request(new URI(url).resolve(loc).toString, method, hops - 1)
+          } else if (method == "HEAD" && status >= 400) {
+            h.disconnect() // server may reject HEAD: retry as GET
+            request(url, "GET", hops)
+          } else {
             val mime = mimeOf(h.getContentType)
+            try { // drain nothing, just close whichever stream exists
+              val in = if (status >= 400) h.getErrorStream
+                       else h.getInputStream
+              if (in != null) in.close()
+            } catch { case _: Exception => }
             h.disconnect()
-            (ok, mime)
-          case c =>
-            val in = c.getInputStream
-            try (true, mimeOf(c.getContentType)) finally in.close()
-        }
-      } catch { case _: Exception => (false, null) }
+            (status < 300, mime) // reference rule: final status < 300
+          }
+        case c =>
+          val in = c.getInputStream
+          try (true, mimeOf(c.getContentType)) finally in.close()
+      }
+    }
+    def probe(url: String): (Boolean, String) =
+      try request(url, "HEAD", maxRedirects)
+      catch { case _: Exception => (false, null) }
   }
 
   /** Probe a distributed URL column into the `(href, accessible, mime)`

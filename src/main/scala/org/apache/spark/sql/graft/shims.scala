@@ -14,4 +14,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-computed `InternalRow` RDD (the backbone of
+    * iterative-algorithm lineage truncation: the returned frame's logical
+    * plan is a flat `LogicalRDD`, however deep the plan that produced the
+    * rows was). Same `private[sql]` entry point `Dataset.checkpoint` /
+    * `localCheckpoint` use internally. */
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[
+                   org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

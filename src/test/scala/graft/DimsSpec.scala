@@ -102,9 +102,24 @@ class DimsSpec extends SparkSpec {
       "aviation/experimental/new-report-type", table))
     assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/weather/" +
       "unpublished-node/experimental/x", table))
-    // disciplines the table does not cover keep the charset fallback
+    // non-weather disciplines are now vendored too: published tokens
+    // pass, unpublished fail — both ways, per discipline
     assert(topicOkWith("origin/a/wis2/de-dwd/data/core/ocean/" +
+      "surface-based-observations/ship", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/ocean/" +
       "surface-based-observations/anything", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/climate/" +
+      "surface-based-observations/monthly", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/climate/" +
+      "made-up-subtree/x", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/" +
+      "atmospheric-composition/surface-based-observations/ozone", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/" +
+      "atmospheric-composition/surface-based-observations/unlisted", table))
+    // a discipline absent from a LOADED table keeps the charset fallback
+    val weatherOnly = Some(Dims.prefixClosure(Seq("weather/aviation/metar")))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/ocean/" +
+      "surface-based-observations/anything", weatherOnly))
     // the fixture-invalid channel still fails (charset already catches it)
     assert(!topicOkWith("origin/a/wis2/ca-eccc-msc/data/core/weather/" +
       "surface-based-observations/landFixed", table))

@@ -385,7 +385,7 @@ class OperatorsSpec extends SparkSpec {
       fmtChunk ++ dataChunk
     // a LIST chunk precedes fmt — the walk must skip it (odd size: padded)
     val wavList = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
-      ("LIST".getBytes ++ le32(5) ++ "INFOx ".getBytes) ++
+      ("LIST".getBytes ++ le32(5) ++ "INFOx\u0000".getBytes) ++
       fmtChunk ++ dataChunk
     val wavNoData = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++ fmtChunk
     val junk = "RIFFnot actually wave".getBytes
@@ -447,5 +447,114 @@ class OperatorsSpec extends SparkSpec {
     val ao = rows("audioOnly")
     assert(ao.isNullAt(1) && ao.isNullAt(2) && ao.getInt(4) == 1)
     assert(rows("junk").isNullAt(3) && rows("junk").isNullAt(4))
+  }
+
+  test("PNG pixel decode: real IDAT inflate + all five filter types " +
+       "reconstruct the exact raster; bombs and interlace return null") {
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.putInt(payload.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      val crc = new CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def ihdr(w: Int, h: Int, colorType: Int, interlace: Int) = {
+      val bb = java.nio.ByteBuffer.allocate(13)
+      bb.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(interlace.toByte)
+      chunk("IHDR", bb.array())
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val m = d.deflate(buf); d.end(); buf.take(m)
+    }
+    def png(w: Int, h: Int, colorType: Int, filtered: Array[Byte],
+            interlace: Int = 0): Array[Byte] =
+      sig ++ ihdr(w, h, colorType, interlace) ++
+        chunk("IDAT", deflate(filtered)) ++ chunk("IEND", Array.empty)
+
+    // 3x5 RGB raster, deterministic; rows 0..4 use filters None, Sub,
+    // Up, Average, Paeth respectively (filtering applied FORWARD here,
+    // the decoder must invert it)
+    val w = 3; val h = 5; val bpp = 3; val stride = w * bpp
+    val raster = Array.tabulate(stride * h)(i => ((i * 37 + 11) % 256).toByte)
+    def u(x: Byte) = x & 0xFF
+    val filtered = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 5
+      filtered(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = u(raster(y * stride + x))
+        val a = if (x >= bpp) u(raster(y * stride + x - bpp)) else 0
+        val b = if (y > 0) u(raster((y - 1) * stride + x)) else 0
+        val c = if (y > 0 && x >= bpp) u(raster((y - 1) * stride + x - bpp))
+                else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
+      }
+    }
+    val crafted = png(w, h, 2, filtered)
+
+    // an INDEPENDENT encoder: the JDK's own ImageIO PNG writer
+    val img = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 13)
+      img.setRGB(x, y, ((x * 31 + y * 7) % 256) << 16 |
+        ((x * 13 + y * 3) % 256) << 8 | ((x + y * 29) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val imageioPng = baos.toByteArray
+    val imageioRaster = (for (y <- 0 until 7; x <- 0 until 13;
+                              ch <- Seq(16, 8, 0))
+      yield ((img.getRGB(x, y) >> ch) & 0xFF).toByte).toArray
+
+    // negatives: Adam7 interlace, truncated IDAT, decompression bomb
+    val interlaced = png(w, h, 2, filtered, interlace = 1)
+    val truncated = crafted.dropRight(30)
+    val bombIhdr = ihdr(1 << 20, 1 << 20, 2, 0)
+    val bomb = sig ++ bombIhdr ++ chunk("IDAT", deflate(Array[Byte](0))) ++
+      chunk("IEND", Array.empty)
+
+    val rows = Seq(("crafted", crafted), ("imageio", imageioPng),
+        ("interlaced", interlaced), ("truncated", truncated),
+        ("bomb", bomb))
+      .toDF("name", "media")
+      .select(col("name"),
+        Multimodal.decodePngPixels(col("media")).as("p"))
+      .select(col("name"), col("p.width"), col("p.height"),
+        col("p.channels"), col("p.pixels"),
+        sha2(col("p.pixels"), 256).as("pix_sha"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    def sha256hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+
+    val c = rows("crafted")
+    assert((c.getInt(1), c.getInt(2), c.getInt(3)) == ((3, 5, 3)))
+    assert(c.getAs[Array[Byte]](4).toSeq == raster.toSeq)
+    assert(c.getString(5) == sha256hex(raster)) // the pixel checksum seam
+    val i2 = rows("imageio")
+    assert((i2.getInt(1), i2.getInt(2), i2.getInt(3)) == ((13, 7, 3)))
+    assert(i2.getAs[Array[Byte]](4).toSeq == imageioRaster.toSeq)
+    assert(rows("interlaced").isNullAt(1))
+    assert(rows("truncated").isNullAt(1))
+    assert(rows("bomb").isNullAt(1))
   }
 }

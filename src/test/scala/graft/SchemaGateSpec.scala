@@ -67,6 +67,46 @@ class SchemaGateSpec extends SparkSpec {
     assert(errs(valid).isEmpty)
   }
 
+  test("pattern: non-URN id fails; the prefix-only looseness matches the " +
+       "reference (empty/space local identifiers pass the schema)") {
+    assert(errs(mutate(replace =
+      "\"id\":\"urn:wmo:md:de-dwd:x\"" -> "\"id\":\"foo\"")) ==
+      Seq("$.id: 'foo' does not match '^urn:wmo:md:'"))
+    // reference run_tests.py:148-181: only the ETS identifier test fails
+    // for these shapes — the schema gate must keep passing them
+    assert(errs(mutate(replace =
+      "\"id\":\"urn:wmo:md:de-dwd:x\"" ->
+      "\"id\":\"urn:wmo:md:de-dwd:\"")).isEmpty)
+    assert(errs(mutate(replace =
+      "\"id\":\"urn:wmo:md:de-dwd:x\"" ->
+      "\"id\":\"urn:wmo:md:de-dwd:a b\"")).isEmpty)
+    // pattern applies to string instances only: a numeric id reports the
+    // type error alone (jsonschema semantics)
+    assert(errs(mutate(replace =
+      "\"id\":\"urn:wmo:md:de-dwd:x\"" -> "\"id\":7")) ==
+      Seq("$.id: is not of type 'string'"))
+  }
+
+  test("uniqueItems: duplicated conformsTo entries fail even when the " +
+       "core class is present") {
+    val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+    assert(errs(mutate(replace =
+      s"""["$core"]""" -> s"""["$core","$core"]""")) ==
+      Seq("$.conformsTo: has non-unique elements"))
+    // distinct entries stay clean
+    assert(errs(mutate(replace =
+      s"""["$core"]""" -> s"""["$core","http://x/other"]""")).isEmpty)
+  }
+
+  test("format is NOT asserted — parity with Draft202012Validator " +
+       "without a format_checker (ets.py:137)") {
+    // a malformed href URI raises no schema error in pywcmp (Draft
+    // 2020-12 format is annotation-only there); the gate must agree
+    assert(errs(mutate(replace =
+      "\"href\":\"http://example.org/x\"" ->
+      "\"href\":\"not a uri at all \\u0000\"")).isEmpty)
+  }
+
   test("missing contacts -> required-property error") {
     assert(errs(mutate(remove = "contacts")) ==
       Seq("$.properties: 'contacts' is a required property"))

@@ -130,6 +130,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming -> batch glue: candidatePairs verified through " +
+       "ngramJaccard under foreachBatch match the batch LSH pipeline") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("stream-glue").toString
+    val textA = "the quick brown fox jumps over the lazy dog near the " +
+      "quiet river bank at dawn"
+    val textA2 = textA + " today" // near-dup, high but non-1.0 jaccard
+    val rows1 = Seq(("d1", textA),
+      ("d2", "completely different content about distributed query " +
+        "engines shuffling partitioned columnar data"))
+    val rows2 = Seq(("d3", textA2),
+      ("d4", "unrelated fresh text about alpine meadows blooming under " +
+        "late spring snow melt"))
+    rows1.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val staticDocs = (rows1 ++ rows2).toDF("doc_id", "text")
+    val verified =
+      scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val stream = spark.readStream
+      .schema("doc_id string, text string").parquet(dir)
+    val q = StreamingDedup
+      .nearDupCandidates(stream, k = 32, bands = 8, stateTtl = "")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the intended composition (StreamingDedup scaladoc): window the
+        // per-band candidates, verify with the BATCH kernel
+        val pairs = StreamingDedup.candidatePairs(batch)
+        val v = Dedup.ngramJaccard(staticDocs, pairs)
+          .where(col("jaccard") >= 0.5).collect()
+        verified.synchronized {
+          verified ++= v.map(r =>
+            (r.getString(r.fieldIndex("id_a")),
+             r.getString(r.fieldIndex("id_b")),
+             r.getDouble(r.fieldIndex("jaccard"))))
+        }
+        () // foreachBatch wants Unit, not the buffer
+      }.start()
+    try {
+      q.processAllAvailable()
+      rows2.toDF("doc_id", "text").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // parity: the batch LSH path (same k/bands/threshold, same corpus)
+    // must verify exactly the same pairs at the same jaccard
+    val batchPairs = Dedup
+      .minhashLsh(staticDocs, k = 32, bands = 8, threshold = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    Dedup.releaseCaches()
+    assert(verified.nonEmpty)
+    assert(verified.toSet == batchPairs)
+    assert(verified.exists { case (a, b, j) =>
+      a == "d1" && b == "d3" && j > 0.5 && j < 1.0 })
+  }
+
   test("streaming near-dup candidates: stateful LSH buckets pair later " +
        "docs with the bucket owner across micro-batches") {
     import graft.streaming.StreamingDedup

@@ -53,6 +53,47 @@ class UrlSourceSpec extends SparkSpec {
     assert(errs.length == 2 && errs.forall(_ != null))
   }
 
+  test("probe parity with check_url: HEAD-hostile servers fall back to " +
+       "GET; redirects are judged on the FINAL response's status < 300") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def ctx(path: String)(f: HttpExchange => Unit): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(x: HttpExchange): Unit = { f(x); x.close() }
+      })
+    // 405s every HEAD (common in the wild); GET succeeds. The reference
+    // only ever GETs, so this URL must score accessible.
+    ctx("/head-hostile") { x =>
+      if (x.getRequestMethod == "HEAD") x.sendResponseHeaders(405, -1)
+      else {
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, -1)
+      }
+    }
+    ctx("/redir-ok") { x =>
+      x.getResponseHeaders.add("Location", "/ok")
+      x.sendResponseHeaders(302, -1)
+    }
+    ctx("/ok") { x =>
+      x.getResponseHeaders.add("Content-Type", "text/plain")
+      x.sendResponseHeaders(200, -1)
+    }
+    ctx("/redir-bad") { x =>
+      x.getResponseHeaders.add("Location", "/gone")
+      x.sendResponseHeaders(302, -1)
+    }
+    ctx("/gone")(x => x.sendResponseHeaders(404, -1))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val p = UrlSource.JavaNetProber()
+      assert(p.probe(s"$base/head-hostile") == ((true, "application/json")))
+      assert(p.probe(s"$base/redir-ok") == ((true, "text/plain")))
+      assert(p.probe(s"$base/redir-bad")._1 == false)
+    } finally server.stop(0)
+  }
+
   test("production link probe: real HTTP HEAD fetches (loopback server) " +
        "build the probe dim; MapLinkProbe drives K4/K5 scores end-to-end") {
     import spark.implicits._
