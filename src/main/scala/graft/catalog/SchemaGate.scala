@@ -58,8 +58,10 @@ import org.apache.spark.sql.types.StringType
   *    (`/root/reference/tests/run_tests.py:148-181`), so any stricter
   *    schema-level pattern would diverge from `iter_errors`.
   *  - `uniqueItems` — `conformsTo` (duplicate conformance-class
-  *    declarations), compared over coerced string leaves; null leaves
-  *    (containers / JSON nulls) are excluded from the comparison.
+  *    declarations), compared over coerced string leaves: scalars as
+  *    text, containers by minified JSON (identical objects compare
+  *    equal); JSON nulls are excluded (both engines erase them to SQL
+  *    NULL — documented approximation vs jsonschema's null==null).
   *  - `format` — deliberately NOT enforced, and that IS the parity: in
   *    Draft 2020-12 `format` is an annotation, not an assertion, unless a
   *    format checker is supplied, and the reference constructs

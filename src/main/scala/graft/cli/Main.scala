@@ -40,6 +40,24 @@ object Main {
       java.time.Instant.now().toString)
     val failOnEts = !flags.contains("--no-fail-on-ets")
 
+    // `pywcmp bundle sync` analog (no Spark session needed):
+    //   --bundle-sync DEST [--schema-url U] [--codelists-url U]
+    //   [--topics-url U] [--iana-url U]
+    // then run the engine with -Dgraft.dims.dir=DEST
+    opts.get("bundle-sync").foreach { dest =>
+      import graft.sources.BundleSync
+      val defaults = BundleSync.Sources()
+      val r = BundleSync.sync(new java.io.File(dest), BundleSync.Sources(
+        schemaUrl = opts.getOrElse("schema-url", defaults.schemaUrl),
+        codelistsZipUrl =
+          opts.getOrElse("codelists-url", defaults.codelistsZipUrl),
+        topicsZipUrl = opts.getOrElse("topics-url", defaults.topicsZipUrl),
+        ianaUrl = opts.getOrElse("iana-url", defaults.ianaUrl)))
+      r.files.foreach(f => println(s"synced $dest/$f"))
+      r.errors.foreach(e => System.err.println(s"sync error: $e"))
+      sys.exit(if (r.errors.nonEmpty) 1 else 0)
+    }
+
     val builder = SparkSession.builder()
       .appName("graft-wcmp2-validate")
       .config("spark.sql.adaptive.enabled", "true")

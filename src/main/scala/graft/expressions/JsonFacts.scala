@@ -790,14 +790,16 @@ object JsonFacts {
     w.recProps = new GenericInternalRow(row)
   }
 
-  /** Duplicate detection over an array's COERCED string leaves (the same
-    * leaf view both the kernel and the DuckDB twin hold: scalars coerced
-    * to text, containers/nulls -> null). Null elements are excluded —
-    * jsonschema would count two JSON nulls as non-unique, but a null leaf
-    * here may also be a container, so flagging null pairs would
-    * false-positive on arrays of distinct objects. Arrays are tiny
-    * (conformsTo: a handful of conformance classes); O(n^2) beats a
-    * per-row hash-set allocation. */
+  /** Duplicate detection over an array's COERCED string leaves — the same
+    * leaf view the DuckDB twin's `json_transform(.., '["VARCHAR"]')`
+    * holds: scalars coerced to text, containers MINIFIED to their compact
+    * JSON text (key order preserved — so two identical objects compare
+    * equal, approximating jsonschema's full-JSON uniqueItems equality up
+    * to source formatting), JSON nulls -> null. Null elements are
+    * excluded (jsonschema would count two JSON nulls as non-unique; both
+    * engines erase them to SQL NULL, so they are skipped consistently —
+    * documented approximation). Arrays are tiny (conformsTo: a handful of
+    * conformance classes); O(n^2) beats a per-row hash-set allocation. */
   private def hasDupLeaf(a: GenericArrayData): Boolean = {
     if (a == null) return false
     val n = a.numElements()

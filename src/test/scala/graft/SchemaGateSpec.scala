@@ -98,6 +98,31 @@ class SchemaGateSpec extends SparkSpec {
       s"""["$core"]""" -> s"""["$core","http://x/other"]""")).isEmpty)
   }
 
+  test("new-check edges: dup-key last-wins feeds the pattern; coerced " +
+       "scalar leaves count as duplicates; container/null leaves don't") {
+    // duplicate `id` keys: json.loads keeps the LAST value — the pattern
+    // must judge that one
+    assert(errs("{\"id\":\"urn:wmo:md:de-dwd:first\"," + valid.drop(1)
+      .replace("\"id\":\"urn:wmo:md:de-dwd:x\"", "\"id\":\"oops\"")) ==
+      Seq("$.id: 'oops' does not match '^urn:wmo:md:'"))
+    val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+    // numeric items coerce to string leaves on BOTH engines: [7, 7] is
+    // non-unique (and also fails the contains-core check)
+    assert(errs(mutate(replace =
+      s"""["$core"]""" -> s"""["$core",7,7]""")) ==
+      Seq("$.conformsTo: has non-unique elements"))
+    // container leaves compare by MINIFIED text (source formatting
+    // differences collapse), matching jsonschema's JSON equality for
+    // identically-keyed objects; JSON nulls are erased to SQL NULL on
+    // both engines and skipped — documented approximation
+    assert(errs(mutate(replace =
+      s"""["$core"]""" -> s"""["$core",{"a":1},{"a": 1}]""")) ==
+      Seq("$.conformsTo: has non-unique elements"))
+    assert(errs(mutate(replace =
+      s"""["$core"]""" -> s"""["$core",{"a":1},{"a":2},null,null]"""))
+      .isEmpty)
+  }
+
   test("format is NOT asserted — parity with Draft202012Validator " +
        "without a format_checker (ets.py:137)") {
     // a malformed href URI raises no schema error in pywcmp (Draft
