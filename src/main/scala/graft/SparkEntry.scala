@@ -455,6 +455,7 @@ object SparkEntry {
     "q_ets_matrix" -> ((s, _) => {
       val recs = OracleDump.table(s, "records_ets") {
         RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+          .unionAll(RecordTable.gateEdgeRecords(s))
       }
       val v = Validator.validate(recs)
       def code(i: Int, name: String) =
@@ -475,6 +476,7 @@ object SparkEntry {
     "q_kpi_matrix" -> ((s, _) => {
       val recs = OracleDump.table(s, "records_ets") {
         RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+          .unionAll(RecordTable.gateEdgeRecords(s))
       }
       val v = Validator.validate(recs)
       def kpi(i: Int, name: String): Seq[Column] = Seq(

@@ -110,6 +110,35 @@ object RecordTable {
       content1.as("content"))
   }
 
+  /** Hand-crafted records exercising the schema gate's Draft 2020-12
+    * pattern / uniqueItems classes (and their interplay with the ETS
+    * identifier test) — unioned into the verdict-matrix oracle dump so
+    * the DuckDB twin independently re-derives the new checks instead of
+    * trivially passing them. Shapes: non-URN string id (pattern fires),
+    * numeric id (type error, pattern suppressed), duplicated conformsTo
+    * strings / coerced ints / minified-equal objects (uniqueItems fires),
+    * duplicated JSON nulls (erased to SQL NULL on both engines — must
+    * NOT fire). */
+  def gateEdgeRecords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val template = fixtureContent("wcmp2-passing.json")
+    val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+    val idLine =
+      "\"urn:wmo:md:ca-eccc-msc:weather.observations.swob-realtime\""
+    def conforms(items: String) =
+      template.replace("\"" + core + "\"", items)
+    val rows = Seq(
+      ("edge-id-pattern", template.replace(idLine, "\"not-a-urn\"")),
+      ("edge-id-number", template.replace(idLine, "12345")),
+      ("edge-conforms-dup", conforms(s""""$core", "$core"""")),
+      ("edge-conforms-dup-int", conforms(s""""$core", 7, 7""")),
+      ("edge-conforms-objs", conforms(s""""$core", {"a": 1}, {"a":1}""")),
+      ("edge-conforms-nulls", conforms(s""""$core", null, null""")))
+    rows.map { case (name, content) =>
+      ("edge", s"gate-edges/$name.json", name, "en", content)
+    }.toDF("repo", "path", "commit", "lang", "content")
+  }
+
   /** Expected ETS-failing rows for a synthesized table of n rows (6 of
     * every 20 buckets fail exactly one test each). */
   def expectedFailing(n: Long): Long = failingBucketRules.keys.toSeq

@@ -17,8 +17,8 @@ class MatrixSpec extends SparkSpec {
   private lazy val kpi =
     SparkEntry.queries("q_kpi_matrix")(spark, "/tmp").cache()
 
-  test("ets matrix: 3010 rows, parse failures = the non-JSON fixture") {
-    assert(ets.count() == 3010)
+  test("ets matrix: 3016 rows, parse failures = the non-JSON fixture") {
+    assert(ets.count() == 3016) // 3000 synth + 10 fixtures + 6 gate edges
     val parseFails = ets.where(!col("parse_ok")).select("path")
       .collect().map(_.getString(0)).toSeq
     assert(parseFails == Seq("tests/data/not-json.csv"))
@@ -29,8 +29,9 @@ class MatrixSpec extends SparkSpec {
     def failed(t: String): Long = ets.where(col(t) === "FAILED").count()
     def bucketRows(b: Int): Long = n / 20 + (if (n % 20 > b) 1L else 0L)
     // synthesized: buckets 14 & 15 fail identifier; fixtures add the
-    // failing/invalid-centre/empty/space identifier records
-    assert(failed("identifier") == bucketRows(14) + bucketRows(15) + 3)
+    // failing/invalid-centre/empty/space identifier records; the two
+    // bad-id gate-edge records (non-URN, numeric) also fail it
+    assert(failed("identifier") == bucketRows(14) + bucketRows(15) + 3 + 2)
     // bucket 16 (created "None") + the created-none fixture
     assert(failed("created_datetime") == bucketRows(16) + 1)
     // bucket 17 (lon -242) + the geometry-range fixture
@@ -39,9 +40,22 @@ class MatrixSpec extends SparkSpec {
     assert(failed("data_policy") == bucketRows(18) + 1)
     // bucket 19 (rel 'download') + the failing and bad-channel fixtures
     assert(failed("links") == bucketRows(19) + 2)
-    // the main failing fixture is also the only themes / gate failure
+    // the main failing fixture is the only themes failure
     assert(failed("themes") == 1)
-    assert(ets.where(col("validation") === "FAILED").count() == 1)
+    // gate failures: the failing fixture + 5 of the 6 gate-edge records
+    // (pattern x2 incl. the numeric-id type error, uniqueItems x3; the
+    // duplicated-nulls record must NOT fire)
+    assert(ets.where(col("validation") === "FAILED").count() == 6)
+    val edges = ets.where(col("path").startsWith("gate-edges/"))
+      .select("path", "validation").collect()
+      .map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(edges == Map(
+      "edge-id-pattern.json" -> "FAILED",
+      "edge-id-number.json" -> "FAILED",
+      "edge-conforms-dup.json" -> "FAILED",
+      "edge-conforms-dup-int.json" -> "FAILED",
+      "edge-conforms-objs.json" -> "FAILED",
+      "edge-conforms-nulls.json" -> "PASSED"))
     // constant-pass tests never fail
     for (t <- Seq("conformance", "description", "extent_temporal", "title"))
       assert(failed(t) == 0, t)
