@@ -383,6 +383,48 @@ object SparkEntry {
           bround(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
         .orderBy("id_a")
     }),
+    // PII scrubbing: deterministic PII strings appended to known rows,
+    // per-category counts + sequentially-redacted text length — the
+    // DuckDB twin runs the IDENTICAL regexes (generated from the same
+    // pattern list)
+    "q_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" contact me at john.doe@example.com or at 192.168.1.77"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" ssn 123-45-6789 card 4111 1111 1111 1111 " +
+            "call +1 (415) 555-0134"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(withPii).agg(
+        sum("pii.n_email").as("n_email"),
+        sum("pii.n_card").as("n_card"),
+        sum("pii.n_ssn").as("n_ssn"),
+        sum("pii.n_ipv4").as("n_ipv4"),
+        sum("pii.n_phone").as("n_phone"),
+        sum(when(col("pii.n_email") + col("pii.n_card") + col("pii.n_ssn")
+          + col("pii.n_ipv4") + col("pii.n_phone") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(length(col("text_redacted"))).as("redacted_chars"))
+    }),
+    // benchmark decontamination: 13-gram overlap between a benchmark
+    // slice (doc_id % 41 = 0) and a training corpus that EMBEDS each
+    // benchmark text inside extra context under a new id (the realistic
+    // contamination shape: test items quoted verbatim inside web pages).
+    // The engine joins on xxhash64(gram) (8-byte shuffle rows at scale),
+    // the oracle joins on the gram text — identical results absent
+    // 64-bit collisions.
+    "q_decontaminate" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val bench = base.where(pmod(col("doc_id"), lit(41)) === 0)
+      val train = base.where(pmod(col("doc_id"), lit(41)) =!= 0)
+        .unionByName(bench.select(
+          (col("doc_id") + lit(5000000L)).as("doc_id"),
+          concat(lit("leading context "), col("text"), lit(" trailing"))
+            .as("text")))
+      TextAnalysis.contamination(train, bench).orderBy("id")
+    }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))
         .groupBy("lang")
@@ -1195,6 +1237,55 @@ object SparkEntry {
         | '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')))
         | AS BIGINT) AS total_bpe_tokens
         | FROM documents GROUP BY lang""".stripMargin,
+    "q_pii" -> {
+      import graft.operators.TextAnalysis.piiPatterns
+      val counts = piiPatterns.map { case (c, p, _) =>
+        s"len(regexp_extract_all(text, '$p')) AS n_$c"
+      }.mkString(",\n        | ")
+      val redacted = piiPatterns.foldLeft("text") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""WITH aug AS (SELECT doc_id, text ||
+        | CASE WHEN doc_id % 7 = 0
+        |  THEN ' contact me at john.doe@example.com or at 192.168.1.77'
+        |  ELSE '' END ||
+        | CASE WHEN doc_id % 11 = 0
+        |  THEN ' ssn 123-45-6789 card 4111 1111 1111 1111 call +1 (415) 555-0134'
+        |  ELSE '' END AS text FROM documents),
+        |c AS (SELECT $counts,
+        | length($redacted) AS rc FROM aug)
+        |SELECT CAST(sum(n_email) AS BIGINT) AS n_email,
+        | CAST(sum(n_card) AS BIGINT) AS n_card,
+        | CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+        | CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+        | CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        | CAST(sum(CASE WHEN n_email + n_card + n_ssn + n_ipv4 + n_phone > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        | CAST(sum(rc) AS BIGINT) AS redacted_chars
+        |FROM c""".stripMargin
+    },
+    "q_decontaminate" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | corpus AS (
+        |   SELECT doc_id, text, doc_id % 41 = 0 AS is_bench FROM base
+        |   UNION ALL
+        |   SELECT doc_id + 5000000,
+        |     'leading context ' || text || ' trailing', false
+        |   FROM base WHERE doc_id % 41 = 0),
+        | tk AS (SELECT doc_id, is_bench,
+        |   list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '') AS t FROM corpus),
+        | sh AS (SELECT doc_id, is_bench, CASE WHEN len(t) < 13
+        |   THEN [array_to_string(t, ' ')]
+        |   ELSE list_distinct(list_transform(range(0, len(t) - 12),
+        |        i -> array_to_string(t[i+1:i+13], ' '))) END AS s FROM tk),
+        | bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh
+        |   WHERE is_bench),
+        | train AS (SELECT doc_id AS id, unnest(s) AS gram FROM sh
+        |   WHERE NOT is_bench)
+        |SELECT id, CAST(count(DISTINCT t.gram) AS BIGINT)
+        |   AS n_contaminated_grams
+        |FROM train t JOIN bench b USING (gram) GROUP BY id""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (SELECT lang,
         |   unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -111,6 +111,75 @@ object TextAnalysis {
     array_sort(array_distinct(filter(grams, h => pmod(h, lit(p)) === 0)))
   }
 
+  /** PII patterns for corpus scrubbing — the standard cheap pre-release
+    * filter for web-scale training data. Deliberately restricted to the
+    * Java-regex ∩ RE2 dialect (no lookaround, no backrefs, `\b`/`\s`
+    * only) so the DuckDB oracle runs the IDENTICAL patterns; these are
+    * heuristics (recall-oriented, format-level), not a compliance tool.
+    * Order matters for [[piiRedact]]: card before phone (a card's digit
+    * groups could otherwise partially phone-match), ip before phone. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", "\\b(?:[0-9]{4}[\\s-]){3}[0-9]{4}\\b", "<CARD>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9]{1,3}[-. (]*[0-9]{3}[-. )]*[0-9]{3}[-. ]*[0-9]{4}\\b",
+      "<PHONE>"))
+
+  /** Per-category match counts, each evaluated INDEPENDENTLY on the raw
+    * text (well-defined for cross-engine comparison; overlapping
+    * categories may each count the same span). One codegen'd projection,
+    * no shuffle. */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (cat, pat, _) =>
+      regexp_count(text, lit(pat)).as(s"n_$cat")
+    }: _*)
+
+  /** Sequentially redacted text: categories applied in [[piiPatterns]]
+    * order (replacement tokens contain no digits, so later patterns
+    * cannot re-match inside an earlier redaction). */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, lit(pat), lit(repl))
+    }
+
+  /** Documents + `pii` count struct + `text_redacted` — narrow, one scan. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("pii", piiCounts(col(textCol)))
+      .withColumn("text_redacted", piiRedact(col(textCol)))
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram (default 13 — the common contamination window) with a
+    * benchmark/test corpus, returning `(id, n_contaminated_grams)` for
+    * contaminated docs only.
+    *
+    * Shape at 100 TB: both corpora project to `(doc, gram_hash)` rows —
+    * xxhash64 of the shingle text, so the join shuffles 8-byte longs
+    * instead of ~80-byte 13-gram strings — the benchmark side collapses
+    * to a distinct hash set (tiny vs the corpus; typically
+    * broadcast-able), and the equi-join + per-doc distinct count are
+    * hash-partitioned, map-side partial-aggregated, AQE-skew-splittable.
+    * Docs shorter than n words contribute their whole text as one gram
+    * (same convention as [[Dedup.shinglesFromTokens]]). A 64-bit hash
+    * collision can only OVER-flag a doc — the safe direction for
+    * decontamination (expected collisions ~ grams^2 / 2^64). */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 13): DataFrame = {
+    def gramRows(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(textCol).as("_text"))
+        .select(col(idAs), explode(array(tokens(col("_text")))).as("_toks"))
+        .select(col(idAs), explode(transform(
+          Dedup.shinglesFromTokens(col("_toks"), n),
+          s => xxhash64(s))).as("gram"))
+    val bench = gramRows(benchmark, "bench_id").select("gram").distinct()
+    gramRows(docs, "id")
+      .join(bench, Seq("gram"))
+      .groupBy("id")
+      .agg(countDistinct("gram").as("n_contaminated_grams"))
+  }
+
   /** Full per-document analysis projection over a documents table.
     * The token array is materialized ONCE behind a Generate barrier and
     * every signal derives from the attribute (tokenization would

@@ -557,4 +557,48 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("truncated").isNullAt(1))
     assert(rows("bomb").isNullAt(1))
   }
+
+  test("PII scrubbing: each category detected and redacted; clean text " +
+       "untouched") {
+    val dirty = "reach me at jane.q+spam@mail.example.org from " +
+      "10.0.255.3, ssn 987-65-4320, card 4111-1111-1111-1111, " +
+      "call +1 (415) 555-2671 please"
+    val df = Seq((1L, dirty), (2L, "a perfectly clean sentence"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p1 = out(1L).getStruct(out(1L).fieldIndex("pii"))
+    assert((0 to 4).map(p1.getInt).sum >= 5) // every category hit
+    val red = out(1L).getString(out(1L).fieldIndex("text_redacted"))
+    for (tok <- Seq("<EMAIL>", "<IP>", "<SSN>", "<CARD>", "<PHONE>"))
+      assert(red.contains(tok), s"$tok missing in: $red")
+    for (leak <- Seq("example.org", "987-65", "4111", "555-2671"))
+      assert(!red.contains(leak), s"leaked $leak in: $red")
+    val p2 = out(2L).getStruct(out(2L).fieldIndex("pii"))
+    assert((0 to 4).map(p2.getInt).sum == 0)
+    assert(out(2L).getString(out(2L).fieldIndex("text_redacted")) ==
+      "a perfectly clean sentence")
+  }
+
+  test("decontamination: docs sharing a 13-gram with the benchmark are " +
+       "flagged; shorter-than-n docs match on whole text; clean docs " +
+       "pass") {
+    val window = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen"
+    val train = Seq(
+      (10L, s"prefix words then $window and a tail"), // shares the window
+      (11L, "totally unrelated words that overlap with nothing at all " +
+        "in the benchmark set here"),
+      (12L, "tiny doc"), // < 13 words, equals a benchmark short doc
+      (13L, window)      // exactly the window
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, s"benchmark question says $window indeed"),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val flagged = TextAnalysis.contamination(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(10L, 12L, 13L))
+    assert(flagged(13L) == 1L) // the single shared gram
+  }
 }
