@@ -425,6 +425,21 @@ object SparkEntry {
             .as("text")))
       TextAnalysis.contamination(train, bench).orderBy("id")
     }),
+    // repetition filters (duplicate lines / repeated n-grams): boilerplate
+    // injected on known rows; per-doc fractions cross-checked in DuckDB
+    "q_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // filter BEFORE the op (a post-join id filter can't push through
+      // the full-outer join); the oracle filters identically
+      val withRep = docs.where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              lit("\nboilerplate navigation menu\n" +
+                "boilerplate navigation menu\nunique footer line"))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysis.repetitionStats(withRep).orderBy("id")
+    }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.analyze(t(s, dir, "documents"))
         .groupBy("lang")
@@ -1286,6 +1301,41 @@ object SparkEntry {
         |SELECT id, CAST(count(DISTINCT t.gram) AS BIGINT)
         |   AS n_contaminated_grams
         |FROM train t JOIN bench b USING (gram) GROUP BY id""".stripMargin,
+    "q_repetition" ->
+      """WITH aug AS (SELECT doc_id AS id, text ||
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |   'boilerplate navigation menu' || chr(10) ||
+        |   'boilerplate navigation menu' || chr(10) ||
+        |   'unique footer line' ELSE '' END AS text
+        | FROM documents WHERE doc_id < 300),
+        | lns AS (SELECT id, trim(l) AS line FROM (
+        |   SELECT id, unnest(string_split(text, chr(10))) AS l FROM aug)
+        |  WHERE trim(l) <> ''),
+        | lc AS (SELECT id, line, count(*) AS cnt FROM lns GROUP BY 1, 2),
+        | lagg AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |   round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6)
+        |     AS dup_line_frac,
+        |   round(CAST(coalesce(sum(CASE WHEN cnt > 1
+        |       THEN length(line) * cnt END), 0) AS DOUBLE)
+        |     / sum(length(line) * cnt), 6) AS dup_line_char_frac
+        |  FROM lc GROUP BY id),
+        | tk AS (SELECT id,
+        |   list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '') AS t FROM aug),
+        | gr AS (SELECT id, unnest(CASE WHEN len(t) < 3
+        |     THEN [array_to_string(t, ' ')]
+        |     ELSE list_transform(range(0, len(t) - 2),
+        |          i -> array_to_string(t[i+1:i+3], ' ')) END) AS gram
+        |   FROM tk),
+        | gc AS (SELECT id, gram, count(*) AS cnt FROM gr GROUP BY 1, 2),
+        | gagg AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |   round(CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0)
+        |     AS DOUBLE) / sum(cnt), 6) AS dup_gram_frac,
+        |   round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_gram_frac
+        |  FROM gc GROUP BY id)
+        |SELECT coalesce(l.id, g.id) AS id, n_lines, dup_line_frac,
+        | dup_line_char_frac, n_grams, dup_gram_frac, top_gram_frac
+        |FROM lagg l FULL OUTER JOIN gagg g ON l.id = g.id""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (SELECT lang,
         |   unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -180,6 +180,52 @@ object TextAnalysis {
       .agg(countDistinct("gram").as("n_contaminated_grams"))
   }
 
+  /** Repetition signals per document — the duplicate-line / repeated
+    * n-gram family of corpus-quality filters (boilerplate navigation,
+    * SEO keyword stuffing, template spam). Computed SHUFFLE-STYLE
+    * (explode -> groupBy(doc, unit) -> per-doc aggregate), not as
+    * per-row O(units^2) lambda scans: counts partial-aggregate map-side
+    * and the per-doc reduce is bounded by the doc's distinct units, so
+    * the shape survives 100 TB where a quadratic per-row expression
+    * would not. Two passes over the text column (lines, n-grams) — both
+    * narrow until their own groupBy.
+    *
+    * Returns per-doc: `n_lines`, `dup_line_frac` (1 - distinct/total),
+    * `dup_line_char_frac` (chars inside lines occurring >1x / all line
+    * chars), `n_grams`, `dup_gram_frac` (grams occurring >1x, by
+    * occurrence), `top_gram_frac` (most frequent gram's share). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val id = col(idCol).as("id")
+    val lines = docs.select(id, explode(filter(
+        transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as("line"))
+      .groupBy("id", "line").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("n_lines"),
+        round(lit(1.0) - count(lit(1)).cast(DoubleType) / sum("cnt"), 6)
+          .as("dup_line_frac"),
+        round(
+          coalesce(sum(when(col("cnt") > 1, length(col("line")) * col("cnt"))),
+            lit(0L)).cast(DoubleType) /
+          sum(length(col("line")) * col("cnt")), 6).as("dup_line_char_frac"))
+    val grams = docs
+      .select(id, explode(array(tokens(col(textCol)))).as("_toks"))
+      .select(col("id"), explode(when(size(col("_toks")) < n,
+          array(concat_ws(" ", col("_toks"))))
+        .otherwise(transform(sequence(lit(0), size(col("_toks")) - n),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))))
+        .as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("n_grams"),
+        round(coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
+          .cast(DoubleType) / sum("cnt"), 6).as("dup_gram_frac"),
+        round(max("cnt").cast(DoubleType) / sum("cnt"), 6)
+          .as("top_gram_frac"))
+    lines.join(grams, Seq("id"), "full_outer")
+  }
+
   /** Full per-document analysis projection over a documents table.
     * The token array is materialized ONCE behind a Generate barrier and
     * every signal derives from the attribute (tokenization would

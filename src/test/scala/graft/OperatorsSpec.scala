@@ -601,4 +601,27 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged.keySet == Set(10L, 12L, 13L))
     assert(flagged(13L) == 1L) // the single shared gram
   }
+
+  test("repetition signals: duplicate lines and repeated n-grams " +
+       "quantified; clean docs score zero") {
+    val repeaty = "alpha beta gamma\nmenu item one\nmenu item one\n" +
+      "menu item one\nclosing words"
+    val clean = "every line here\nis entirely different\nfrom the others"
+    val df = Seq((1L, repeaty), (2L, clean)).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("n_lines")) == 5)
+    // 5 lines, 3 distinct -> dup_line_frac = 1 - 3/5
+    assert(r1.getDouble(r1.fieldIndex("dup_line_frac")) == 0.4)
+    // "menu item one" x3 = 39 chars of 16+39+13=68 total line chars
+    assert(r1.getDouble(r1.fieldIndex("dup_line_char_frac")) ==
+      math.round(39.0 / 68.0 * 1e6) / 1e6)
+    // 14 tokens -> 12 3-grams; "menu item one" occurs 3x (the max)
+    assert(r1.getLong(r1.fieldIndex("n_grams")) == 12)
+    assert(r1.getDouble(r1.fieldIndex("top_gram_frac")) == 0.25)
+    val r2 = out(2L)
+    assert(r2.getDouble(r2.fieldIndex("dup_line_frac")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("dup_gram_frac")) == 0.0)
+  }
 }
