@@ -54,13 +54,40 @@ object SparkEntry {
     * query read (the records tables are synthesized in memory and have no
     * sf-dir file otherwise). The generator is seed-free deterministic, so
     * re-writing on a fresh JVM reproduces identical content. */
-  private object OracleDump {
+  private[graft] object OracleDump {
     // per-process dir: two concurrent driver JVMs on a shared box must not
     // overwrite each other's parquet mid-oracle-read. The oracle SQL this
     // JVM generates embeds this JVM's globs, so the pairing stays exact;
     // the dir outlives the JVM for the driver's separate DuckDB pass.
     val dir =
       s"/tmp/graft_oracle_tables_${ProcessHandle.current().pid()}"
+
+    /** Reap per-pid dump dirs whose owning process is gone (each Verify/
+      * Bench JVM leaves one behind for the post-mortem DuckDB pass; on a
+      * shared box repeated best-of runs would otherwise accumulate full
+      * parquet dumps in /tmp without bound). Runs once per JVM, before
+      * the first dump write. */
+    private[graft] def cleanStale(): Unit = {
+      val self = ProcessHandle.current().pid()
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .foreach { f =>
+          val n = f.getName
+          if (f.isDirectory && n.startsWith("graft_oracle_tables_")) {
+            // ProcessHandle.of is present iff that native process exists;
+            // on any probe error, assume alive (never delete a live dir)
+            val alive = n.stripPrefix("graft_oracle_tables_").toLongOption
+              .exists(p => p == self ||
+                scala.util.Try(ProcessHandle.of(p).isPresent).getOrElse(true))
+            if (!alive)
+              try {
+                java.nio.file.Files.walk(f.toPath)
+                  .sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              } catch { case _: Exception => } // best-effort reaping
+          }
+        }
+    }
+    cleanStale()
     /** the read_parquet glob the oracle SQL uses for table `name` */
     def glob(name: String): String = s"$dir/$name.parquet/*.parquet"
     private val written = scala.collection.mutable.Set[String]()

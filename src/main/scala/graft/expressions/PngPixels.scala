@@ -86,7 +86,13 @@ object PngPixels {
             case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
           }
           if (depth != 8 || channels < 0 || interlace != 0) return null
-          if (w <= 0 || h <= 0) return null
+          // per-dimension cap BEFORE the product: w and h are raw u32s
+          // (up to 2^32-1), so (w*channels+1)*h could wrap Long negative
+          // and sneak a forged IHDR past a product-only check (then the
+          // Int casts below would overflow into a NegativeArraySize
+          // throw). With both factors <= MaxRaster the Long product is
+          // exact (< 2^54).
+          if (w <= 0 || h <= 0 || w > MaxRaster || h > MaxRaster) return null
           if ((w * channels + 1L) * h > MaxRaster) return null // bomb cap
           width = w.toInt; height = h.toInt
         case "IDAT" =>
@@ -108,7 +114,11 @@ object PngPixels {
         var off = 0
         while (off < raw.length && !inf.finished()) {
           val got = inf.inflate(raw, off, raw.length - off)
-          if (got == 0 && inf.needsInput()) return null // short stream
+          // any zero-progress state is terminal for untrusted bytes:
+          // short stream (needsInput), preset-dictionary demand
+          // (needsDictionary — a crafted FDICT zlib header would
+          // otherwise return 0 forever: an executor-task infinite loop)
+          if (got == 0) return null
           off += got
         }
         if (off < raw.length) return null

@@ -254,11 +254,14 @@ object Dedup {
     // count() per intermediate) serialized formerly-overlapping stages
     // and doubled fixed job latency at toy scale (q_minhash_pairs
     // 2.3s -> 4.7s). After the barrier the result cache is full, so the
-    // intermediates release safely (lifecycle contract unchanged).
-    verified.count()
-    bandRows.unpersist()
-    candidates.unpersist()
-    sh.unpersist()
+    // intermediates release safely; finally-released so a failed job
+    // can't strand them either (the registry only owns `verified`).
+    try verified.count()
+    finally {
+      bandRows.unpersist()
+      candidates.unpersist()
+      sh.unpersist()
+    }
     verified
   }
 
@@ -321,8 +324,9 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming))
-    pairs.count() // materialize so the chunk-row cache can be freed
-    chunkRows.unpersist()
+    // materialize so the chunk-row cache can be freed (finally: a failed
+    // job must not strand the non-registry-owned intermediate)
+    try pairs.count() finally chunkRows.unpersist()
     pairs
   }
 
@@ -431,8 +435,8 @@ object Dedup {
           (x.getField("norm") * y.getField("norm"))).as("cosine"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
       .where(col("cosine") >= threshold))
-    pairs.count() // materialize so the sig cache can be freed
-    sigRows.unpersist()
+    // materialize so the sig cache can be freed (finally: error-safe)
+    try pairs.count() finally sigRows.unpersist()
     pairs
   }
 
@@ -485,50 +489,66 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsRdd) = truncated(
-      edges.groupBy(col("a").as("id"))
-        .agg(min("b").as("_minb"))
-        .select(col("id"), least(col("id"), col("_minb")).as("component")))
-    labels.count() // materialize round-0 blocks
-    var iter = 0
+    var labels: DataFrame = null
+    var labelsRdd: org.apache.spark.rdd.RDD[_] = null
     var converged = false
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("b"),
-          col("component").as("nbr_component")), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min("nbr_component").as("nbr_component"))
-      // pointer jump: my label's current label (labels self-join)
-      val viaParent = labels.select(col("id").as("_pid"),
-        col("component").as("parent_component"))
-      val (next, nextRdd) = truncated(
-        labels.select(col("id"), col("component").as("old"))
-          .join(viaNeighbors, Seq("id"), "left")
-          .join(viaParent, col("old") === col("_pid"), "left")
-          .select(col("id"),
-            least(col("old"),
-              coalesce(col("nbr_component"), col("old")),
-              coalesce(col("parent_component"), col("old"))).as("component"),
-            col("old"))
-          .select(col("id"), col("component"),
-            (col("component") < col("old")).as("_changed")))
-      // ONE job: the full aggregate computes (and thereby persists) every
-      // partition of the round's RDD and returns the changed count
-      val changed = next
-        .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
-        .head().getLong(0)
-      labelsRdd.unpersist(blocking = false)
-      labels = next; labelsRdd = nextRdd
-      converged = changed == 0L
-      iter += 1
+    // error-path cache hygiene: a mid-iteration job failure (task error,
+    // OOM, corrupt partition) must not strand edges + the current/next
+    // round's persisted RDDs — they are not registry-owned, so a leak
+    // here would be unreleasable in a long-lived driver that retries
+    try {
+      val init = truncated(
+        edges.groupBy(col("a").as("id"))
+          .agg(min("b").as("_minb"))
+          .select(col("id"), least(col("id"), col("_minb")).as("component")))
+      labels = init._1; labelsRdd = init._2
+      labels.count() // materialize round-0 blocks
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val viaNeighbors = edges
+          .join(labels.select(col("id").as("b"),
+            col("component").as("nbr_component")), Seq("b"))
+          .groupBy(col("a").as("id"))
+          .agg(min("nbr_component").as("nbr_component"))
+        // pointer jump: my label's current label (labels self-join)
+        val viaParent = labels.select(col("id").as("_pid"),
+          col("component").as("parent_component"))
+        val (next, nextRdd) = truncated(
+          labels.select(col("id"), col("component").as("old"))
+            .join(viaNeighbors, Seq("id"), "left")
+            .join(viaParent, col("old") === col("_pid"), "left")
+            .select(col("id"),
+              least(col("old"),
+                coalesce(col("nbr_component"), col("old")),
+                coalesce(col("parent_component"), col("old"))).as("component"),
+              col("old"))
+            .select(col("id"), col("component"),
+              (col("component") < col("old")).as("_changed")))
+        // ONE job: the full aggregate computes (and thereby persists)
+        // every partition of the round's RDD and returns the changed count
+        val changed =
+          try next
+            .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)),
+              lit(0L)))
+            .head().getLong(0)
+          catch { case t: Throwable =>
+            nextRdd.unpersist(blocking = false); throw t
+          }
+        labelsRdd.unpersist(blocking = false)
+        labels = next; labelsRdd = nextRdd
+        converged = changed == 0L
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"components: labels still changing after $maxIter rounds — " +
+            "refusing to return non-converged (silently wrong) labels")
+    } catch { case t: Throwable =>
+      edges.unpersist()
+      if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
+      throw t
     }
     edges.unpersist()
-    if (!converged) {
-      labelsRdd.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"components: labels still changing after $maxIter rounds — " +
-          "refusing to return non-converged (silently wrong) labels")
-    }
     val finalRdd = labelsRdd
     resultCaches.add(() => { finalRdd.unpersist(blocking = false); () })
     labels.select("id", "component")

@@ -44,7 +44,14 @@ object BundleSync {
   /** Files written (dest-relative) and per-artifact failures. */
   case class Synced(files: Seq[String], errors: Seq[String])
 
-  private def fetchBytes(url: String, timeoutMs: Int): Array[Byte] = {
+  /** Fetch with explicit status handling: redirects HttpURLConnection
+    * refuses to auto-follow (cross-protocol http->https, 308) are
+    * followed manually (bounded, relative Locations resolved against the
+    * connection's FINAL URL), and any remaining non-2xx status is an
+    * ERROR — silently writing a redirect/error body as the artifact
+    * would corrupt the dims dir while exiting 0. */
+  private def fetchBytes(url: String, timeoutMs: Int,
+                         hops: Int = 10): Array[Byte] = {
     val conn = new URI(url).toURL.openConnection()
     conn.setConnectTimeout(timeoutMs)
     conn.setReadTimeout(timeoutMs)
@@ -52,10 +59,23 @@ object BundleSync {
       case h: java.net.HttpURLConnection =>
         h.setInstanceFollowRedirects(true)
         h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
-      case _ =>
+        val status = h.getResponseCode
+        val loc = h.getHeaderField("Location")
+        if (status >= 300 && status < 400 && loc != null && hops > 0) {
+          val base = h.getURL.toURI
+          h.disconnect()
+          fetchBytes(base.resolve(loc).toString, timeoutMs, hops - 1)
+        } else if (status >= 300) {
+          h.disconnect()
+          throw new java.io.IOException(s"HTTP $status for $url")
+        } else {
+          val in = h.getInputStream
+          try in.readAllBytes() finally in.close()
+        }
+      case c =>
+        val in = c.getInputStream
+        try in.readAllBytes() finally in.close()
     }
-    val in = conn.getInputStream
-    try in.readAllBytes() finally in.close()
   }
 
   private def write(dest: File, name: String, bytes: Array[Byte]): String = {

@@ -98,8 +98,12 @@ object UrlSource {
           val status = h.getResponseCode
           val loc = h.getHeaderField("Location")
           if (status >= 300 && status < 400 && loc != null && hops > 0) {
-            h.disconnect() // cross-protocol redirect: follow manually
-            request(new URI(url).resolve(loc).toString, method, hops - 1)
+            // resolve a relative Location against the connection's FINAL
+            // URL (h.getURL) — auto-followed same-protocol hops may have
+            // moved the path away from the original request URL
+            val base = h.getURL.toURI
+            h.disconnect() // unfollowed redirect: follow manually
+            request(base.resolve(loc).toString, method, hops - 1)
           } else if (method == "HEAD" && status >= 400) {
             h.disconnect() // server may reject HEAD: retry as GET
             request(url, "GET", hops)

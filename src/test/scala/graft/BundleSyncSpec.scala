@@ -92,6 +92,27 @@ class BundleSyncSpec extends AnyFunSuite {
       assert(r2.errors.size == 1 && r2.errors.head.startsWith("codelists:"))
       assert(r2.files.contains("wcmp2-bundled.json"))
       assert(r2.files.contains("sub-discipline.csv"))
+
+      // a 308 redirect (not auto-followed by HttpURLConnection) is
+      // followed manually instead of writing the redirect body as the
+      // artifact; the 404 above already pins the non-2xx error path
+      server.createContext("/moved",
+        new com.sun.net.httpserver.HttpHandler {
+          def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+            x.getResponseHeaders.add("Location", "/schema.json")
+            x.sendResponseHeaders(308, -1)
+            x.close()
+          }
+        })
+      val dest3 = Files.createTempDirectory("bundle-sync3").toFile
+      val r3 = BundleSync.sync(dest3, BundleSync.Sources(
+        schemaUrl = s"$base/moved",
+        codelistsZipUrl = s"$base/codelists.zip",
+        topicsZipUrl = s"$base/topics.zip",
+        ianaUrl = s"$base/iana.csv"))
+      assert(r3.errors.isEmpty)
+      assert(Files.readString(
+        new java.io.File(dest3, "wcmp2-bundled.json").toPath) == schema)
     } finally server.stop(0)
   }
 }

@@ -556,6 +556,18 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("interlaced").isNullAt(1))
     assert(rows("truncated").isNullAt(1))
     assert(rows("bomb").isNullAt(1))
+    // adversarial kernels, called directly (the codegen path invokes the
+    // same static): a forged IHDR whose (w*ch+1)*h wraps Long negative
+    // must not sneak past the bomb cap into a NegativeArraySizeException,
+    // and an FDICT zlib header (inflate()==0 with needsDictionary) must
+    // return null, not spin the executor task forever
+    val overflow = sig ++ ihdr(0x40000000, 0x80000000, 6, 0) ++
+      chunk("IDAT", deflate(Array[Byte](0))) ++ chunk("IEND", Array.empty)
+    assert(graft.expressions.PngPixels.pixels(overflow) == null)
+    val fdictZlib = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val fdict = sig ++ ihdr(w, h, 2, 0) ++
+      chunk("IDAT", fdictZlib) ++ chunk("IEND", Array.empty)
+    assert(graft.expressions.PngPixels.pixels(fdict) == null)
   }
 
   test("PII scrubbing: each category detected and redacted; clean text " +
@@ -623,5 +635,32 @@ class OperatorsSpec extends SparkSpec {
     val r2 = out(2L)
     assert(r2.getDouble(r2.fieldIndex("dup_line_frac")) == 0.0)
     assert(r2.getDouble(r2.fieldIndex("dup_gram_frac")) == 0.0)
+  }
+
+  test("components: a failing job releases every intermediate cache " +
+       "(error-path hygiene, not just the happy path)") {
+    Dedup.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // ANSI integer division by zero poisons edge materialization
+    val poisoned = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      .select((col("id_a") / (col("id_a") - col("id_a")))
+        .cast("long").as("id_a"), col("id_b"))
+    intercept[Exception] { Dedup.components(poisoned) }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"leaked persistent RDDs: ${after -- before}")
+  }
+
+  test("stale oracle-dump dirs from dead JVMs are reaped; live ones kept") {
+    val stale = new java.io.File("/tmp/graft_oracle_tables_999999999")
+    val inner = new java.io.File(stale, "t.parquet")
+    inner.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(inner, "part-0.parquet").toPath, "x")
+    val live = new java.io.File(
+      s"/tmp/graft_oracle_tables_${ProcessHandle.current().pid()}")
+    val hadLive = live.exists()
+    SparkEntry.OracleDump.cleanStale()
+    assert(!stale.exists())
+    if (hadLive) assert(live.exists()) // own dir untouched
   }
 }

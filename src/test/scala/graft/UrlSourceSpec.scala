@@ -84,6 +84,23 @@ class UrlSourceSpec extends SparkSpec {
       x.sendResponseHeaders(302, -1)
     }
     ctx("/gone")(x => x.sendResponseHeaders(404, -1))
+    // auto-followed hop moves the path (/a/old -> /b/new), then /b/new
+    // answers 308 (which HttpURLConnection does NOT auto-follow) with a
+    // RELATIVE Location — the manual follow must resolve it against the
+    // connection's final URL (/b/new), not the original request (/a/old)
+    ctx("/a/old") { x =>
+      x.getResponseHeaders.add("Location", "/b/new")
+      x.sendResponseHeaders(302, -1)
+    }
+    ctx("/b/new") { x =>
+      x.getResponseHeaders.add("Location", "final.json")
+      x.sendResponseHeaders(308, -1)
+    }
+    ctx("/b/final.json") { x =>
+      x.getResponseHeaders.add("Content-Type", "application/geo+json")
+      x.sendResponseHeaders(200, -1)
+    }
+    ctx("/a/final.json")(x => x.sendResponseHeaders(404, -1))
     server.start()
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     try {
@@ -91,6 +108,7 @@ class UrlSourceSpec extends SparkSpec {
       assert(p.probe(s"$base/head-hostile") == ((true, "application/json")))
       assert(p.probe(s"$base/redir-ok") == ((true, "text/plain")))
       assert(p.probe(s"$base/redir-bad")._1 == false)
+      assert(p.probe(s"$base/a/old") == ((true, "application/geo+json")))
     } finally server.stop(0)
   }
 
