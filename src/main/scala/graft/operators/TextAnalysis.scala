@@ -173,7 +173,11 @@ object TextAnalysis {
         .select(col(idAs), explode(transform(
           Dedup.shinglesFromTokens(col("_toks"), n),
           s => xxhash64(s))).as("gram"))
-    val bench = gramRows(benchmark, "bench_id").select("gram").distinct()
+    // benchmark corpora are test sets — small by construction — so the
+    // distinct gram-hash set broadcasts: the corpus side then never
+    // shuffles for the join (only the per-doc count aggregation does)
+    val bench = broadcast(
+      gramRows(benchmark, "bench_id").select("gram").distinct())
     gramRows(docs, "id")
       .join(bench, Seq("gram"))
       .groupBy("id")

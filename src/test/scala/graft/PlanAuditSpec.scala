@@ -130,6 +130,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(generates >= 2, p)
   }
 
+  test("decontamination joins the corpus against a BROADCAST benchmark " +
+       "gram set — the corpus side never shuffles for the join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = formatted(graft.operators.TextAnalysis.contamination(
+      docs.where(col("doc_id") % 41 =!= 0),
+      docs.where(col("doc_id") % 41 === 0)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no accidental cartesian products in lazily-planned driver " +
        "queries; ANN's broadcast nested-loop is the one intended cross") {
     val lazyQueries = Seq("q_agg_summary", "q_broadcast_join", "q_semi_join",
