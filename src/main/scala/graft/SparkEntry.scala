@@ -554,6 +554,18 @@ object SparkEntry {
         code(10, "title"), code(11, "rtype"))
         .orderBy("path")
     }),
+    // A1/A4 aggregation face, oracle-checked end-to-end: per-lang verdict
+    // rollup over the full 3016-record matrix corpus — counts, failed-test
+    // totals, mean KPI percentage, the xor'd sha256-prefix partition
+    // fingerprint (recomputable by ANY engine from the content column —
+    // DuckDB does), and the PASS/FAIL verdict
+    "q_partition_verdicts" -> ((s, _) => {
+      val recs = OracleDump.table(s, "records_ets") {
+        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+          .unionAll(RecordTable.gateEdgeRecords(s))
+      }
+      Validator.partitionVerdicts(Validator.validate(recs)).orderBy("lang")
+    }),
     // the KPI twin of q_ets_matrix: per-record total+score for all 7 KPIs
     // plus the summary (incl. percentage, grade, and the pids
     // score-exceeds-total quirk), independently re-scored in DuckDB SQL
@@ -1149,6 +1161,41 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ets_matrix" -> etsMatrixSql,
     "q_kpi_matrix" -> kpiMatrixSql,
+    // per-lang rollup over BOTH matrix re-implementations + an
+    // independent sha256-prefix fingerprint recomputation
+    "q_partition_verdicts" -> {
+      def failedSum(code: String) =
+        Seq("conformance", "contacts", "created_datetime", "data_policy",
+          "description", "extent_geospatial", "extent_temporal",
+          "identifier", "links", "themes", "title", "rtype")
+          .map(t => s"(CASE WHEN $t = '$code' THEN 1 ELSE 0 END)")
+          .mkString("\n        |   + ")
+      s"""WITH m AS (${etsMatrixSql}),
+        | k AS (${kpiMatrixSql}),
+        | r AS (SELECT path, lang,
+        |   CAST('0x' || substr(sha256(content), 1, 15) AS BIGINT) AS shafp
+        |  FROM read_parquet('${OracleDump.glob("records_ets")}')),
+        | per AS (SELECT r.lang, m.parse_ok, r.shafp,
+        |   CASE WHEN m.parse_ok THEN
+        |    (${failedSum("FAILED")}) END AS failed,
+        |   k.sum_percentage AS pct
+        |  FROM r JOIN m ON m.path = r.path JOIN k ON k.path = r.path)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS records,
+        | CAST(sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS parse_errors,
+        | CAST(sum(CASE WHEN parse_ok AND failed = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS passed_records,
+        | CAST(sum(CASE WHEN parse_ok AND failed > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS failed_records,
+        | CAST(sum(CASE WHEN parse_ok THEN failed ELSE 0 END) AS BIGINT)
+        |   AS failed_tests,
+        | round_even(avg(pct), 3) AS mean_kpi_percentage,
+        | bit_xor(shafp) AS sha_fingerprint,
+        | CASE WHEN sum(CASE WHEN (parse_ok AND failed > 0)
+        |       OR NOT parse_ok THEN 1 ELSE 0 END) = 0
+        |   THEN 'PASS' ELSE 'FAIL' END AS verdict
+        |FROM per GROUP BY lang""".stripMargin
+    },
     // per-record ETS summary counts = an aggregation over the ETS matrix
     // evaluated on the dumped fixture table
     "wcmp_ets_summary" ->

@@ -179,7 +179,14 @@ object Validator {
         .otherwise(0)).as("failed_records"),
       sum(coalesce(col("ets_summary.FAILED"), lit(0))).as("failed_tests"),
       bround(avg(col("kpi_summary.percentage")), 3).as("mean_kpi_percentage"),
-      bit_xor(crc32(col("sha256"))).as("sha_fingerprint"))
+      // partition fingerprint: xor of each row's sha256 64-bit prefix
+        // (15 hex chars, positive in signed 64). Chosen over crc32-of-
+        // sha because ANY engine can recompute it from the content
+        // column alone — the north-rule sha256 invariant stays
+        // externally verifiable end-to-end (the DuckDB oracle does)
+        bit_xor(conv(substring(col("sha256"), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType))
+          .as("sha_fingerprint"))
     .withColumn("verdict",
       when(col("failed_records") + col("parse_errors") === 0, "PASS")
         .otherwise("FAIL"))
