@@ -62,17 +62,23 @@ object SparkEntry {
     val dir =
       s"/tmp/graft_oracle_tables_${ProcessHandle.current().pid()}"
 
-    /** Reap per-pid dump dirs whose owning process is gone (each Verify/
-      * Bench JVM leaves one behind for the post-mortem DuckDB pass; on a
-      * shared box repeated best-of runs would otherwise accumulate full
-      * parquet dumps in /tmp without bound). Runs once per JVM, before
-      * the first dump write. */
-    private[graft] def cleanStale(): Unit = {
+    /** Reap per-pid dump dirs whose owning process is gone AND that are
+      * older than a day (each Verify/Bench JVM leaves one behind for the
+      * post-mortem DuckDB pass; on a shared box repeated best-of runs
+      * would otherwise accumulate full parquet dumps in /tmp without
+      * bound). The age guard matters: the post-mortem reader runs
+      * MINUTES after the dumping JVM exits, and a fresh JVM starting in
+      * between must not reap the dump out from under it. Runs once per
+      * JVM, before the first dump write. */
+    private[graft] def cleanStale(
+        maxAgeMs: Long = 24L * 3600 * 1000): Unit = {
       val self = ProcessHandle.current().pid()
+      val cutoff = System.currentTimeMillis() - maxAgeMs
       Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
         .foreach { f =>
           val n = f.getName
-          if (f.isDirectory && n.startsWith("graft_oracle_tables_")) {
+          if (f.isDirectory && n.startsWith("graft_oracle_tables_") &&
+              f.lastModified() < cutoff) {
             // ProcessHandle.of is present iff that native process exists;
             // on any probe error, assume alive (never delete a live dir)
             val alive = n.stripPrefix("graft_oracle_tables_").toLongOption
@@ -565,6 +571,20 @@ object SparkEntry {
           .unionAll(RecordTable.gateEdgeRecords(s))
       }
       Validator.partitionVerdicts(Validator.validate(recs)).orderBy("lang")
+    }),
+    // S7/A1 violation-row face, oracle-checked at the (path, rule_id)
+    // level over the full matrix corpus (diagnostic TEXT stays
+    // golden-tested in ReportsSpec; the row SET — which record violates
+    // which rule, incl. parse and schema-gate rows — is re-derived from
+    // the independent DuckDB matrix)
+    "q_violation_rows" -> ((s, _) => {
+      val recs = OracleDump.table(s, "records_ets") {
+        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+          .unionAll(RecordTable.gateEdgeRecords(s))
+      }
+      Validator.violations(Validator.validate(recs))
+        .select("path", "rule_id", "severity")
+        .orderBy("path", "rule_id")
     }),
     // the KPI twin of q_ets_matrix: per-record total+score for all 7 KPIs
     // plus the summary (incl. percentage, grade, and the pids
@@ -1161,6 +1181,30 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ets_matrix" -> etsMatrixSql,
     "q_kpi_matrix" -> kpiMatrixSql,
+    // (path, rule_id) violation rows unpivoted from the matrix columns
+    "q_violation_rows" -> {
+      val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+      // matrix column -> reference test-id slug (EtsRules testId)
+      val slugs = Seq(
+        "conformance" -> "conformance", "contacts" -> "contacts",
+        "created_datetime" -> "record_created_datetime",
+        "data_policy" -> "data_policy", "description" -> "description",
+        "extent_geospatial" -> "extent_geospatial",
+        "extent_temporal" -> "extent_temporal",
+        "identifier" -> "identifier", "links" -> "links",
+        "themes" -> "themes", "title" -> "title", "rtype" -> "type")
+      val unions = slugs.map { case (col, slug) =>
+        s"SELECT path, '$core/$slug' AS rule_id FROM m WHERE $col = 'FAILED'"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH m AS (${etsMatrixSql}),
+        | f AS (
+        |  SELECT path, 'parse_error' AS rule_id FROM m WHERE NOT parse_ok
+        |  UNION ALL
+        |  SELECT path, '$core/validation' FROM m
+        |   WHERE validation = 'FAILED'
+        |  UNION ALL $unions)
+        |SELECT path, rule_id, 'ERROR' AS severity FROM f""".stripMargin
+    },
     // per-lang rollup over BOTH matrix re-implementations + an
     // independent sha256-prefix fingerprint recomputation
     "q_partition_verdicts" -> {

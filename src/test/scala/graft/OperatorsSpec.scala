@@ -650,7 +650,8 @@ class OperatorsSpec extends SparkSpec {
     assert(after == before, s"leaked persistent RDDs: ${after -- before}")
   }
 
-  test("stale oracle-dump dirs from dead JVMs are reaped; live ones kept") {
+  test("stale oracle-dump dirs are reaped only when the owner is dead " +
+       "AND the dir is old; fresh dumps survive for the post-mortem pass") {
     val stale = new java.io.File("/tmp/graft_oracle_tables_999999999")
     val inner = new java.io.File(stale, "t.parquet")
     inner.mkdirs()
@@ -659,6 +660,11 @@ class OperatorsSpec extends SparkSpec {
     val live = new java.io.File(
       s"/tmp/graft_oracle_tables_${ProcessHandle.current().pid()}")
     val hadLive = live.exists()
+    // dead owner but FRESH dir: must survive (a reader may still come)
+    SparkEntry.OracleDump.cleanStale()
+    assert(stale.exists())
+    // dead owner and old: reaped
+    stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
     SparkEntry.OracleDump.cleanStale()
     assert(!stale.exists())
     if (hadLive) assert(live.exists()) // own dir untouched
