@@ -126,30 +126,38 @@ object Bench {
 
 /** Scaling-efficiency evidence (north rule: >= 0.8 from N to 4N):
   * the same synthesized input validated at local[8] and local[32],
-  * two timed runs per level, best-of reported.
-  * `efficiency = throughput(4N) / (4 x throughput(N))`. */
+  * best-of-three per level after a full-size warmup.
+  * `efficiency = throughput(4N) / (4 x throughput(N))`.
+  * Self-describing like the Bench artifact: per-pass throughputs and
+  * host load averages ride along, so a neighbor-burst-corrupted level
+  * is visible in the JSON instead of silently deflating the ratio. */
 object Scaling {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "400000").toLong
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").toSeq
     val results = levels.map { cpus =>
+      val load0 = Bench.loadAvg()
       val spark = Bench.session(cpus)
-      // validatorThroughput warms with a full-size pass itself, so one
+      // validatorPasses warms with a full-size pass itself, so one
       // call per level is the steady-state best-of-three
-      val t = Bench.validatorThroughput(spark, rows)
+      val passes = Bench.validatorPasses(spark, rows)
       spark.stop()
       // SparkContext must be cleared so the next level gets a new master
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      cpus -> t
+      (cpus, passes, load0, Bench.loadAvg())
     }
-    val tN = results.head._2
-    val t4N = results.last._2
+    val tN = results.head._2.max
+    val t4N = results.last._2.max
     val eff = t4N / (4 * tN)
     println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
       s""""rows":$rows,""" +
-      results.map { case (c, t) => s""""rows_per_sec_local$c":$t""" }
-        .mkString(",") + "}")
+      results.map { case (c, passes, l0, l1) =>
+        s""""rows_per_sec_local$c":${passes.max},""" +
+          s""""passes_local$c":${passes.map(p => f"$p%.1f")
+            .mkString("[", ",", "]")},""" +
+          f""""load_avg_local$c":[$l0%.1f,$l1%.1f]"""
+      }.mkString(",") + "}")
   }
 }
