@@ -79,8 +79,13 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** locale-pinned %.1f — the default-locale f"" interpolator would emit
+    * decimal commas (invalid JSON) on a comma-locale JVM */
+  def dec1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", java.lang.Double.valueOf(x))
+
   private def jsonArr(xs: Seq[Double]): String =
-    xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    xs.map(dec1).mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,7 +113,11 @@ object Bench {
     // first block (round 3's artifact read 6k rows/s against a 46-90k
     // reality), the later block usually lands in a different load window.
     // Headline = max over both blocks; per-pass arrays + load averages
-    // make a still-corrupted number self-describing.
+    // make a still-corrupted number self-describing. Drop the query
+    // suite's persisted frames first so the recheck measures on the same
+    // clean storage-memory footing as block one.
+    graft.operators.Dedup.releaseCaches()
+    spark.catalog.clearCache()
     val passes2 = validatorPasses(spark, rows, passes = 2, warm = false)
     val load1 = loadAvg()
     val all = passes1 ++ passes2
@@ -118,7 +127,7 @@ object Bench {
       s""""unit":"rows/sec","validated_rows":$rows,"cpus":$cpus,""" +
       s""""validator_passes":${jsonArr(passes1)},""" +
       s""""validator_recheck_passes":${jsonArr(passes2)},""" +
-      f""""load_avg_start":$load0%.1f,"load_avg_end":$load1%.1f,""" +
+      s""""load_avg_start":${dec1(load0)},"load_avg_end":${dec1(load1)},""" +
       s""""queries_total_sec":$total,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -155,9 +164,9 @@ object Scaling {
       s""""rows":$rows,""" +
       results.map { case (c, passes, l0, l1) =>
         s""""rows_per_sec_local$c":${passes.max},""" +
-          s""""passes_local$c":${passes.map(p => f"$p%.1f")
+          s""""passes_local$c":${passes.map(Bench.dec1)
             .mkString("[", ",", "]")},""" +
-          f""""load_avg_local$c":[$l0%.1f,$l1%.1f]"""
+          s""""load_avg_local$c":[${Bench.dec1(l0)},${Bench.dec1(l1)}]"""
       }.mkString(",") + "}")
   }
 }

@@ -108,6 +108,18 @@ object SparkEntry {
       }
   }
 
+  /** The 3,010-record verdict-matrix corpus (synthesized mutations +
+    * reference fixtures + gate-edge records), dumped once under the
+    * shared name `records_ets` that all four matrix queries and their
+    * DuckDB oracles read — ONE definition, so a future edit cannot make
+    * one query compute on a different frame than the dump its oracle
+    * reads. */
+  private def etsCorpus(s: SparkSession): DataFrame =
+    OracleDump.table(s, "records_ets") {
+      RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+        .unionAll(RecordTable.gateEdgeRecords(s))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- WCMP2 constraint suite (fixture-seeded; ScalaTest-golden) ------
     "wcmp_violations" -> ((s, _) =>
@@ -543,10 +555,7 @@ object SparkEntry {
     // logic (messages are golden-tested in ScalaTest; the matrix here
     // cross-checks every code on 3010 records)
     "q_ets_matrix" -> ((s, _) => {
-      val recs = OracleDump.table(s, "records_ets") {
-        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
-          .unionAll(RecordTable.gateEdgeRecords(s))
-      }
+      val recs = etsCorpus(s)
       val v = Validator.validate(recs)
       def code(i: Int, name: String) =
         get(col("ets_tests"), lit(i)).getField("code").as(name)
@@ -566,10 +575,7 @@ object SparkEntry {
     // fingerprint (recomputable by ANY engine from the content column —
     // DuckDB does), and the PASS/FAIL verdict
     "q_partition_verdicts" -> ((s, _) => {
-      val recs = OracleDump.table(s, "records_ets") {
-        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
-          .unionAll(RecordTable.gateEdgeRecords(s))
-      }
+      val recs = etsCorpus(s)
       Validator.partitionVerdicts(Validator.validate(recs)).orderBy("lang")
     }),
     // S7/A1 violation-row face, oracle-checked at the (path, rule_id)
@@ -578,10 +584,7 @@ object SparkEntry {
     // which rule, incl. parse and schema-gate rows — is re-derived from
     // the independent DuckDB matrix)
     "q_violation_rows" -> ((s, _) => {
-      val recs = OracleDump.table(s, "records_ets") {
-        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
-          .unionAll(RecordTable.gateEdgeRecords(s))
-      }
+      val recs = etsCorpus(s)
       Validator.violations(Validator.validate(recs))
         .select("path", "rule_id", "severity")
         .orderBy("path", "rule_id")
@@ -590,10 +593,7 @@ object SparkEntry {
     // plus the summary (incl. percentage, grade, and the pids
     // score-exceeds-total quirk), independently re-scored in DuckDB SQL
     "q_kpi_matrix" -> ((s, _) => {
-      val recs = OracleDump.table(s, "records_ets") {
-        RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
-          .unionAll(RecordTable.gateEdgeRecords(s))
-      }
+      val recs = etsCorpus(s)
       val v = Validator.validate(recs)
       def kpi(i: Int, name: String): Seq[Column] = Seq(
         get(col("kpi_tests"), lit(i)).getField("total").as(s"${name}_total"),

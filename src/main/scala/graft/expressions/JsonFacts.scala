@@ -191,6 +191,7 @@ object JsonFacts {
   // (/root/reference/tests/run_tests.py:148-181 — those records fail ONLY
   // the ETS identifier test), so any stricter pattern would diverge.
   private val IdUrnPrefix = "urn:wmo:md:"
+  private val IdUrnPrefixU8 = UTF8String.fromString(IdUrnPrefix)
   private val ConformsNotArray = u("$.conformsTo: is not of type 'array'")
   private val ConformsNoCore = u(s"$$.conformsTo: does not contain '$Core'")
   private val ConformsNotUnique = u("$.conformsTo: has non-unique elements")
@@ -798,11 +799,26 @@ object JsonFacts {
     * to source formatting), JSON nulls -> null. Null elements are
     * excluded (jsonschema would count two JSON nulls as non-unique; both
     * engines erase them to SQL NULL, so they are skipped consistently —
-    * documented approximation). Arrays are tiny (conformsTo: a handful of
-    * conformance classes); O(n^2) beats a per-row hash-set allocation. */
+    * documented approximation). Arrays are tiny in honest records
+    * (conformsTo: a handful of conformance classes), so the pairwise scan
+    * avoids a per-row hash-set allocation — but the bytes are UNTRUSTED,
+    * and an all-distinct million-element array would make the quadratic
+    * scan a single-row executor stall (the same DoS class the media
+    * decoders cap), so beyond a small bound this falls back to a
+    * hash set and stays linear. */
   private def hasDupLeaf(a: GenericArrayData): Boolean = {
     if (a == null) return false
     val n = a.numElements()
+    if (n > 32) {
+      val seen = new java.util.HashSet[Any](n * 2)
+      var i = 0
+      while (i < n) {
+        val x = a.array(i)
+        if (x != null && !seen.add(x)) return true
+        i += 1
+      }
+      return false
+    }
     var i = 0
     while (i < n) {
       val x = a.array(i)
@@ -826,7 +842,7 @@ object JsonFacts {
     // root-level members
     if (w.idState == 0) out += ReqRoot("id")
     else if (w.idState == 2) out += IdNotString
-    else if (w.recId != null && !w.recId.toString.startsWith(IdUrnPrefix))
+    else if (w.recId != null && !w.recId.startsWith(IdUrnPrefixU8))
       // pattern applies to string instances only (JSON Schema semantics);
       // message mirrors jsonschema's "'{instance}' does not match
       // '{pattern}'" shape

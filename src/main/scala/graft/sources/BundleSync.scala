@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.io.{ByteArrayInputStream, File, FileOutputStream}
-import java.net.URI
 import java.util.zip.ZipInputStream
 
 /** S6 tooling: `pywcmp bundle sync` analog
@@ -44,39 +43,25 @@ object BundleSync {
   /** Files written (dest-relative) and per-artifact failures. */
   case class Synced(files: Seq[String], errors: Seq[String])
 
-  /** Fetch with explicit status handling: redirects HttpURLConnection
-    * refuses to auto-follow (cross-protocol http->https, 308) are
-    * followed manually (bounded, relative Locations resolved against the
-    * connection's FINAL URL), and any remaining non-2xx status is an
-    * ERROR — silently writing a redirect/error body as the artifact
-    * would corrupt the dims dir while exiting 0. */
-  private def fetchBytes(url: String, timeoutMs: Int,
-                         hops: Int = 10): Array[Byte] = {
-    val conn = new URI(url).toURL.openConnection()
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn match {
+  /** Fetch via the shared redirect-following transport
+    * ([[UrlSource.openFollowing]] — one definition for prober + sync).
+    * Any remaining non-2xx terminal status is an ERROR — silently
+    * writing a redirect/error body as the artifact would corrupt the
+    * dims dir while exiting 0. */
+  private def fetchBytes(url: String, timeoutMs: Int): Array[Byte] =
+    UrlSource.openFollowing(url, "GET", timeoutMs, hops = 10) match {
       case h: java.net.HttpURLConnection =>
-        h.setInstanceFollowRedirects(true)
-        h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
         val status = h.getResponseCode
-        val loc = h.getHeaderField("Location")
-        if (status >= 300 && status < 400 && loc != null && hops > 0) {
-          val base = h.getURL.toURI
-          h.disconnect()
-          fetchBytes(base.resolve(loc).toString, timeoutMs, hops - 1)
-        } else if (status >= 300) {
+        if (status >= 300) {
           h.disconnect()
           throw new java.io.IOException(s"HTTP $status for $url")
-        } else {
-          val in = h.getInputStream
-          try in.readAllBytes() finally in.close()
         }
+        val in = h.getInputStream
+        try in.readAllBytes() finally in.close()
       case c =>
         val in = c.getInputStream
         try in.readAllBytes() finally in.close()
     }
-  }
 
   private def write(dest: File, name: String, bytes: Array[Byte]): String = {
     val f = new File(dest, name)
@@ -85,11 +70,17 @@ object BundleSync {
     name
   }
 
+  /** Decompression-bomb cap per zip entry: a mirror (the Sources URLs
+    * are explicitly overridable) serving a few-KB entry that deflates to
+    * many GB must fail the sync step, not OOM the driver. Dims artifacts
+    * are CSVs and a JSON schema — comfortably under this. */
+  val MaxEntryBytes: Int = 64 * 1024 * 1024
+
   /** Extract zip entries into `dest` flat by basename. `csvOnly` mirrors
     * the codelists branch (`'.csv' in name`, `bundle.py:79`); the topics
     * branch takes every file entry. Entry names are UNTRUSTED: only the
     * basename is ever used, so `../`-style zip-slip paths cannot escape
-    * `dest`. */
+    * `dest`; entry bytes are capped at [[MaxEntryBytes]]. */
   private def extractZip(dest: File, bytes: Array[Byte],
                          csvOnly: Boolean): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -100,12 +91,27 @@ object BundleSync {
         val base = new File(e.getName).getName
         val take = !e.isDirectory && base.nonEmpty &&
           (!csvOnly || e.getName.contains(".csv"))
-        if (take) out += write(dest, base, z.readAllBytes())
+        if (take) out += write(dest, base, readCapped(z, base))
         z.closeEntry()
         e = z.getNextEntry
       }
     } finally z.close()
     out.result()
+  }
+
+  private[graft] def readCapped(z: ZipInputStream, name: String,
+                                cap: Int = MaxEntryBytes): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = z.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size() > cap)
+        throw new java.io.IOException(
+          s"zip entry '$name' exceeds $cap bytes (bomb cap)")
+      n = z.read(chunk)
+    }
+    buf.toByteArray
   }
 
   def sync(dest: File, sources: Sources = Sources(),

@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object UrlSource {
 
+  /** Shared java.net transport: open with timeouts + UA, manually
+    * following the redirects `HttpURLConnection` refuses to auto-follow
+    * (cross-protocol http->https, 308), bounded by `hops`, relative
+    * `Location`s resolved against the connection's FINAL URL
+    * (auto-followed same-protocol hops may have moved the path). Returns
+    * the TERMINAL connection — the caller owns status handling, streams
+    * and disconnect. One definition serves both the link prober and
+    * [[BundleSync]], so the subtle redirect logic cannot drift between
+    * them. */
+  private[sources] def openFollowing(url: String, method: String,
+                                     timeoutMs: Int,
+                                     hops: Int): java.net.URLConnection = {
+    val conn = new URI(url).toURL.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn match {
+      case h: HttpURLConnection =>
+        h.setInstanceFollowRedirects(true)
+        h.setRequestMethod(method)
+        h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
+        val status = h.getResponseCode
+        val loc = h.getHeaderField("Location")
+        if (status >= 300 && status < 400 && loc != null && hops > 0) {
+          val base = h.getURL.toURI
+          h.disconnect()
+          openFollowing(base.resolve(loc).toString, method, timeoutMs,
+            hops - 1)
+        } else h
+      case c => c
+    }
+  }
+
   /** One fetched record row; `content` null iff `fetch_error` set. */
   case class Fetched(repo: String, path: String, commit: String,
                      lang: String, content: String, fetch_error: String)
@@ -85,28 +117,13 @@ object UrlSource {
                            maxRedirects: Int = 10) extends UrlProber {
     private def mimeOf(ct: String): String =
       Option(ct).map(_.split(";")(0).trim).filter(_.nonEmpty).orNull
-    private def request(url: String, method: String,
-                        hops: Int): (Boolean, String) = {
-      val conn = new URI(url).toURL.openConnection()
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      conn match {
+    private def request(url: String, method: String): (Boolean, String) =
+      UrlSource.openFollowing(url, method, timeoutMs, maxRedirects) match {
         case h: HttpURLConnection =>
-          h.setInstanceFollowRedirects(true)
-          h.setRequestMethod(method)
-          h.setRequestProperty("User-Agent", "graft-wcmp2spark/0.1.0")
           val status = h.getResponseCode
-          val loc = h.getHeaderField("Location")
-          if (status >= 300 && status < 400 && loc != null && hops > 0) {
-            // resolve a relative Location against the connection's FINAL
-            // URL (h.getURL) — auto-followed same-protocol hops may have
-            // moved the path away from the original request URL
-            val base = h.getURL.toURI
-            h.disconnect() // unfollowed redirect: follow manually
-            request(base.resolve(loc).toString, method, hops - 1)
-          } else if (method == "HEAD" && status >= 400) {
-            h.disconnect() // server may reject HEAD: retry as GET
-            request(url, "GET", hops)
+          if (method == "HEAD" && status >= 400) {
+            h.disconnect() // server may reject HEAD: re-walk the chain
+            request(url, "GET") // as GET (the reference always GETs)
           } else {
             val mime = mimeOf(h.getContentType)
             try { // drain nothing, just close whichever stream exists
@@ -121,9 +138,8 @@ object UrlSource {
           val in = c.getInputStream
           try (true, mimeOf(c.getContentType)) finally in.close()
       }
-    }
     def probe(url: String): (Boolean, String) =
-      try request(url, "HEAD", maxRedirects)
+      try request(url, "HEAD")
       catch { case _: Exception => (false, null) }
   }
 

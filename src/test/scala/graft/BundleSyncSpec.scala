@@ -115,4 +115,23 @@ class BundleSyncSpec extends AnyFunSuite {
         new java.io.File(dest3, "wcmp2-bundled.json").toPath) == schema)
     } finally server.stop(0)
   }
+
+  test("zip entries inflate under a decompression-bomb cap: an entry " +
+       "exceeding the cap throws instead of buffering unbounded") {
+    val bytes = zipBytes("big.csv" -> ("x" * 200000), "ok.csv" -> "a,b")
+    val z = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val e1 = z.getNextEntry
+    assert(e1.getName == "big.csv")
+    val ex = intercept[java.io.IOException] {
+      BundleSync.readCapped(z, e1.getName, cap = 100000)
+    }
+    assert(ex.getMessage.contains("bomb cap"))
+    z.closeEntry()
+    // under the cap reads fully
+    val e2 = z.getNextEntry
+    assert(new String(BundleSync.readCapped(z, e2.getName, cap = 100000),
+      "UTF-8") == "a,b")
+    z.close()
+  }
 }

@@ -123,6 +123,25 @@ class SchemaGateSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("uniqueItems beyond the pairwise bound (hash-set path, >32 " +
+       "elements): same verdict both sides of the cutover") {
+    val core = "http://wis.wmo.int/spec/wcmp/2/conf/core"
+    def arr(n: Int, dup: Boolean) = {
+      val xs = (1 to n).map(i => s""""http://x/c$i"""")
+      (s""""$core"""" +: (if (dup) xs :+ xs.head else xs))
+        .mkString("[", ",", "]")
+    }
+    // 40 distinct entries (plus core): clean — and LINEAR, not quadratic
+    assert(errs(mutate(replace = s"""["$core"]""" -> arr(40, dup = false)))
+      .isEmpty)
+    // 40 entries with one repeat: non-unique via the hash-set path
+    assert(errs(mutate(replace = s"""["$core"]""" -> arr(40, dup = true))) ==
+      Seq("$.conformsTo: has non-unique elements"))
+    // the pairwise path (n <= 32) agrees on the same shape
+    assert(errs(mutate(replace = s"""["$core"]""" -> arr(20, dup = true))) ==
+      Seq("$.conformsTo: has non-unique elements"))
+  }
+
   test("format is NOT asserted — parity with Draft202012Validator " +
        "without a format_checker (ets.py:137)") {
     // a malformed href URI raises no schema error in pywcmp (Draft
