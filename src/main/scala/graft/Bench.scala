@@ -64,12 +64,25 @@ object Bench {
       val (warmN, _) = time(forceAll(Validator.validate(records)))
       require(warmN == rows, s"expected $rows rows, got $warmN")
     }
-    (1 to passes).map { _ =>
+    def pass(): Double = {
       val (n, sec) = time(forceAll(Validator.validate(records)))
       require(n == rows, s"expected $rows rows, got $n")
       System.err.println(f"[bench] validator pass ${rows / sec}%.0f rows/s")
       rows / sec
     }
+    val out = scala.collection.mutable.ArrayBuffer.fill(passes)(pass())
+    // steady-state guard: low-thread levels can still be JIT-tiering at
+    // pass 3 (measured: local[2]@400k climbing 6.9k -> 8.6k -> 10.7k),
+    // which over-credits the 4N level in the scaling ratio. Keep
+    // measuring while the latest pass improves the best by > 3%, up to
+    // 3 extra passes — a plateaued level stops immediately.
+    var extra = 0
+    while (extra < 3 && out.length >= 2 &&
+           out.last > out.init.max * 1.03) {
+      out += pass()
+      extra += 1
+    }
+    out.toSeq
   }
 
   def validatorThroughput(spark: SparkSession, rows: Long): Double =
