@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{DatasetRules, Validator}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.RecordTable
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -516,6 +516,35 @@ object SparkEntry {
           lit(0L).as("n_frames_sampled"))
       fake.unionAll(real).orderBy("format")
     }),
+
+    // ---- corpus curation: deterministic sampling, caps, funnel ----------
+    // stratified hash sample: per-lang keep rates decided by an md5-hex
+    // threshold on the doc key — reproducible across engines/retries, so
+    // the DuckDB twin re-derives the EXACT sampled row set
+    "q_sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
+        keyCol = "doc_id", seed = "s42")
+        .select("doc_id", "lang").orderBy("doc_id")),
+    // per-source cap (domain cap): first 5 docs per source by doc_id;
+    // the engine runs the salted pre-prune + exact window, the oracle
+    // runs the plain window — identical row sets prove the pre-prune
+    // conservative
+    "q_source_cap" -> ((s, dir) =>
+      Curation.perSourceCap(t(s, dir, "documents"), "source", "doc_id",
+        k = 5, salts = 8)
+        .select("doc_id", "source").orderBy("doc_id")),
+    // filter funnel: first-reject attribution across 4 cleaning rules in
+    // ONE aggregate pass; drops sum to n_in - n_out by construction
+    "q_filter_funnel" -> ((s, dir) =>
+      Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_len" -> (length(col("text")) >= 150),
+        "lang_known" -> col("lang").isInCollection(Seq("en", "de", "es", "fr")),
+        "min_tokens" -> (size(TextAnalysis.tokens(col("text"))) >= 25),
+        "punct_ratio" -> (length(regexp_replace(col("text"),
+          "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)) <= 0.2)))
+        .orderBy("rule_seq")),
 
     // ---- dataset-level constraint suite over the records table ----------
     "q_records_colstats" -> ((s, _) =>
@@ -1647,6 +1676,50 @@ object SparkEntry {
         |  (sum((p_lang - p_global) *
         |    ln((p_lang + 1e-9) / (p_global + 1e-9))) >= 0.2) AS drifted
         | FROM j GROUP BY lang""".stripMargin,
+    "q_sample_stratified" -> {
+      // thresholds generated from the SAME code the engine filters with
+      val thrEn = Curation.thresholdHex(0.5)
+      val thrDe = Curation.thresholdHex(0.25)
+      val thrDefault = Curation.thresholdHex(0.1)
+      s"""SELECT doc_id, lang FROM documents
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
+        |   CASE lang WHEN 'de' THEN '$thrDe' WHEN 'en' THEN '$thrEn'
+        |     ELSE '$thrDefault' END
+        | ORDER BY doc_id""".stripMargin
+    },
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q_filter_funnel" ->
+      """WITH p AS (SELECT
+        |  coalesce(length(text) >= 150, false) AS p1,
+        |  coalesce(list_contains(['en','de','es','fr'], lang), false) AS p2,
+        |  coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '')) >= 25, false) AS p3,
+        |  coalesce(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '',
+        |    'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2, false)
+        |    AS p4
+        | FROM documents),
+        |agg AS (SELECT count(*) AS n_in,
+        |  CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d2,
+        |  CAST(sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d4
+        | FROM p)
+        |SELECT 1 AS rule_seq, 'min_len' AS rule, n_in AS n_evaluated,
+        |  d1 AS n_dropped, n_in - d1 AS n_remaining FROM agg
+        |UNION ALL SELECT 2, 'lang_known', n_in - d1, d2,
+        |  n_in - d1 - d2 FROM agg
+        |UNION ALL SELECT 3, 'min_tokens', n_in - d1 - d2, d3,
+        |  n_in - d1 - d2 - d3 FROM agg
+        |UNION ALL SELECT 4, 'punct_ratio', n_in - d1 - d2 - d3, d4,
+        |  n_in - d1 - d2 - d3 - d4 FROM agg
+        |ORDER BY rule_seq""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
