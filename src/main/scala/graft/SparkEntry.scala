@@ -534,6 +534,18 @@ object SparkEntry {
       Curation.perSourceCap(t(s, dir, "documents"), "source", "doc_id",
         k = 5, salts = 8)
         .select("doc_id", "source").orderBy("doc_id")),
+    // token-budget sample: greedily fill a per-lang token budget in
+    // deterministic hash order. The engine runs the bucketed path (4096
+    // hash-prefix buckets, driver prefix sums, exact window over the cut
+    // bucket only); the oracle runs the naive full window — identical row
+    // sets prove the bucketed cut exact
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSample(
+        t(s, dir, "documents").withColumn("n_tok",
+          size(TextAnalysis.tokens(col("text")))),
+        "lang", "n_tok", Map("en" -> 2000L, "de" -> 1500L),
+        defaultBudget = 800L, keyCol = "doc_id", seed = "tb7")
+        .select("doc_id", "lang").orderBy("doc_id")),
     // filter funnel: first-reject attribution across 4 cleaning rules in
     // ONE aggregate pass; drops sum to n_in - n_out by construction
     "q_filter_funnel" -> ((s, dir) =>
@@ -1687,6 +1699,20 @@ object SparkEntry {
         |     ELSE '$thrDefault' END
         | ORDER BY doc_id""".stripMargin
     },
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |     w -> w <> '')) AS BIGINT) AS n_tok,
+        |   substr(md5(CAST(doc_id AS VARCHAR) || ':tb7'), 1, 8) AS h
+        |  FROM documents),
+        | c AS (SELECT doc_id, lang,
+        |   coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang FROM c
+        | WHERE cum < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1500
+        |   ELSE 800 END
+        | ORDER BY doc_id""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -92,6 +92,106 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Token-budget sample: per-stratum (e.g. per language), keep documents
+    * in deterministic md5-hash order until the stratum's token budget is
+    * filled — "give me ~10B tokens of German" without bias (hash order is
+    * uncorrelated with content). The document that CROSSES the budget is
+    * kept (greedy fill): a row survives iff the token sum of all
+    * hash-earlier rows in its stratum is still below budget.
+    *
+    * Shape at 100 TB: the naive form is a running-sum window per stratum —
+    * with a handful of languages those partitions are giant and hot. This
+    * implementation instead: (1) one aggregation of token sums per
+    * (stratum, 12-bit hash-prefix bucket) — at most |strata| * 4096 rows,
+    * bounded by construction, collected to the driver like the drift
+    * histogram; (2) driver-side prefix sums pick each stratum's cut
+    * bucket; (3) every row in a bucket BELOW the cut is kept by a narrow
+    * filter (no shuffle), rows in the single cut bucket (~1/4096 of the
+    * stratum) get the exact running-sum window, everything above is
+    * dropped at the scan. Ties inside a bucket break on (hash, key) — a
+    * total order, so the result is exactly the row set the naive window
+    * would keep, at a fraction of the shuffle. */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, tokensCol: String,
+                        budgets: Map[String, Long], defaultBudget: Long,
+                        keyCol: String, seed: String = ""): DataFrame = {
+    val h = substring(
+      md5(concat(col(keyCol).cast(StringType), lit(":" + seed))), 1, 8)
+    val bucket = substring(h, 1, 3) // 4096 buckets
+    val withH = df.withColumn("_h", h).withColumn("_b", bucket)
+
+    // (1) bounded histogram: |strata| x <=4096 rows
+    val hist = withH.groupBy(col(strataCol).as("_s"), col("_b"))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect()
+
+    // (2) per-stratum cut: full buckets strictly below `cut`, remaining
+    // budget inside it. A stratum absent from `budgets` uses the default.
+    case class Cut(cut: String, remaining: Long)
+    val cuts: Map[String, Cut] = hist.groupBy(_.getString(0)).map {
+      case (stratum, rows) =>
+        val budget = budgets.getOrElse(stratum, defaultBudget)
+        val sorted = rows.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy(_._1)
+        var acc = 0L
+        var cut = "g" // above every hex bucket: whole stratum fits
+        var remaining = 0L
+        val it = sorted.iterator
+        var searching = true
+        while (it.hasNext && searching) {
+          val (b, t) = it.next()
+          if (acc + t >= budget) { cut = b; remaining = budget - acc
+            searching = false
+          } else acc += t
+        }
+        stratum -> Cut(cut, remaining)
+    }
+
+    // <=> so a null stratum (grouped like any other by the histogram)
+    // routes to ITS cut instead of falling through to the drop-all default
+    val cutCol = cuts.toSeq.sortBy(c => Option(c._1)).foldLeft(lit("0")) {
+      case (acc, (s, c)) => when(col(strataCol) <=> s, lit(c.cut))
+        .otherwise(acc)
+    }
+    val remCol = cuts.toSeq.sortBy(c => Option(c._1)).foldLeft(lit(0L)) {
+      case (acc, (s, c)) => when(col(strataCol) <=> s, lit(c.remaining))
+        .otherwise(acc)
+    }
+
+    // (3) below-cut buckets: narrow filter. Cut bucket: exact window over
+    // ~1/4096 of each stratum.
+    val below = withH.where(col("_b") < cutCol)
+    val boundary = withH.where(col("_b") === cutCol)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryKept = boundary
+      .withColumn("_cum", coalesce(sum(col(tokensCol).cast("long")).over(w),
+        lit(0L)))
+      .where(col("_cum") < remCol)
+      .drop("_cum")
+    below.unionByName(boundaryKept).drop("_h", "_b")
+  }
+
+  /** The naive exact form of [[tokenBudgetSample]] — one running-sum
+    * window per stratum over the WHOLE corpus. Kept as the parity/oracle
+    * reference; use the bucketed form at scale. */
+  private[graft] def tokenBudgetSampleNaive(df: DataFrame, strataCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      keyCol: String, seed: String = ""): DataFrame = {
+    val h = substring(
+      md5(concat(col(keyCol).cast(StringType), lit(":" + seed))), 1, 8)
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_h", h)
+      .withColumn("_cum", coalesce(sum(col(tokensCol).cast("long")).over(w),
+        lit(0L)))
+      .where(col("_cum") < budgetCol)
+      .drop("_h", "_cum")
+  }
+
   /** Survivors of a sequential rule funnel: rows passing EVERY rule.
     * One conjunctive narrow filter — rules push down to the scan. */
   def applyFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =

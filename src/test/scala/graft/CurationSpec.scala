@@ -72,6 +72,34 @@ class CurationSpec extends SparkSpec {
     assert(caps.find(_._1 == "src0").get._2 == 7)
   }
 
+  test("tokenBudgetSample bucketed path equals the naive full window") {
+    val withTok = docs.withColumn("n_tok",
+      size(graft.operators.TextAnalysis.tokens(col("text"))))
+    val budgets = Map("en" -> 50L, "de" -> 1000000L, "es" -> 0L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val bucketed = ids(Curation.tokenBudgetSample(
+      withTok, "lang", "n_tok", budgets, 37L, "doc_id", "tb"))
+    val naive = ids(Curation.tokenBudgetSampleNaive(
+      withTok, "lang", "n_tok", budgets, 37L, "doc_id", "tb"))
+    assert(bucketed == naive)
+    // per-stratum semantics: de budget huge -> all kept; es budget 0 ->
+    // none; en budget 50 at ~6 tokens/doc -> the crossing doc is KEPT
+    val byLang = Curation.tokenBudgetSample(
+        withTok, "lang", "n_tok", budgets, 37L, "doc_id", "tb")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(byLang("de")._1 == 100)
+    assert(!byLang.contains("es"))
+    assert(byLang("en")._2 >= 50) // greedy fill crosses the budget
+    // removing the crossing doc dips below budget: minimal over-fill
+    val enDocs = Curation.tokenBudgetSample(
+        withTok, "lang", "n_tok", budgets, 37L, "doc_id", "tb")
+      .where(col("lang") === "en").select("n_tok").as[Int].collect()
+    assert(enDocs.map(_.toLong).sum - enDocs.max < 50)
+  }
+
   test("filterFunnel attributes each drop to the FIRST rejecting rule") {
     val d = Seq(
       (1L, "keep", 10),   // passes both
