@@ -346,6 +346,22 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashDedup(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
+    // image near-dup over REAL decoded pixels: each doc carries an image
+    // whose pixels are a pure function of doc_id % 100 but whose BYTES
+    // differ per doc — PNG compression level + scanline filter vary with
+    // doc_id, and ~1/6 of docs carry the raster as uncompressed BMP
+    // instead — decode + dHash + Hamming-pigeonhole must recover exactly
+    // the same-image pairs, which the DuckDB twin derives from the seed
+    // arithmetic alone. Proves end-to-end encoding- AND format-invariance
+    // of the decode->resize->hash pipeline, not just pair plumbing.
+    "q_image_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.ImageOps.synthImage(
+          pmod(col("doc_id"), lit(100L)),
+          pmod(col("doc_id") * 7 + 3, lit(12L)).cast("int")).as("media"))
+      Dedup.imageDedup(docs, "media", "doc_id", maxHamming = 0)
+        .orderBy("id_a", "id_b")
+    }),
     // no-silent-caps contract: how many LSH buckets the maxBucket cap
     // dropped (and the band rows inside them) for the minhash run above
     "q_lsh_bucket_stats" -> ((s, dir) =>
@@ -516,6 +532,24 @@ object SparkEntry {
           lit(0L).as("n_frames_sampled"))
       fake.unionAll(real).orderBy("format")
     }),
+
+    // audio QC features over REAL decoded PCM samples: each doc carries a
+    // synthetic WAV whose silence prefix / amplitude / length are pure
+    // seed arithmetic (AudioOps.synthWav), so the DuckDB twin recomputes
+    // peak/rms/silence from the closed forms while the engine must reach
+    // the same numbers by actually walking the RIFF chunks and decoding
+    // every 16-bit PCM frame
+    "q_audio_features" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.expressions.AudioOps.audioFeatures(
+            graft.expressions.AudioOps.synthWav(col("doc_id"))).as("f"))
+        .select(col("doc_id"),
+          col("f.n_frames").as("n_frames"),
+          col("f.duration_ms").as("duration_ms"),
+          bround(col("f.peak"), 6).as("peak"),
+          bround(col("f.rms"), 6).as("rms"),
+          bround(col("f.silence_ratio"), 6).as("silence_ratio"))
+        .orderBy("doc_id")),
 
     // ---- corpus curation: deterministic sampling, caps, funnel ----------
     // stratified hash sample: per-lang keep rates decided by an md5-hex
@@ -1553,6 +1587,33 @@ object SparkEntry {
         |  WHERE a.doc_id < 50)
         | SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
         |   len(list_distinct(list_concat(sa, sb))) AS jaccard FROM p""".stripMargin,
+    // the audio features from the synthWav closed forms: peak = A/2^15,
+    // rms = A*sqrt((n-s)/n)/2^15 (both engines feed IEEE sqrt the exact
+    // same integer-valued quotient — see AudioOps.synthWav), silence = s/n
+    "q_audio_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    400 + (doc_id % 5) * 100 AS n,
+        |    doc_id % 100 AS s,
+        |    CASE WHEN doc_id % 7 = 6 THEN 32767
+        |         ELSE 1000 + (doc_id % 7) * 4000 END AS a
+        |  FROM documents)
+        | SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  ROUND(a / 32768.0, 6) AS peak,
+        |  ROUND(sqrt(((n - s) * a * a) / CAST(n AS DOUBLE)) / 32768.0, 6)
+        |    AS rms,
+        |  ROUND(s / CAST(n AS DOUBLE), 6) AS silence_ratio
+        | FROM p ORDER BY doc_id""".stripMargin,
+    // same-image pairs from the seed arithmetic (doc_id % 100 defines the
+    // image): the engine must reach the identical pair set through actual
+    // PNG/BMP encode -> decode -> thumbnail -> dHash -> LSH bucketing,
+    // across per-doc compression levels, filters and container formats
+    "q_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin,
     "q_components" ->
       """WITH RECURSIVE
         | grp AS (SELECT md5(substr(text, 1, 60)) AS g, doc_id

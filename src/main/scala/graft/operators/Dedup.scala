@@ -292,29 +292,25 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** The simhash chunk-row frame `(id, sig, chunk, chunk_val)` — the
-    * native codegen'd SimHash64 expression (bit-identical to [[simhash64]],
-    * the interpreted higher-order-function reference implementation). */
-  private[operators] def simhashChunkRows(df: DataFrame, textCol: String,
-                               idCol: String): DataFrame =
-    parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"),
-        graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
+  /** 4x16-bit chunk explode over a 64-bit signature frame `(id, sig)` —
+    * the pigeonhole stage shared by every Hamming-space near-dup variant
+    * (text [[simhashDedup]], image [[imageDedup]]): two signatures within
+    * Hamming distance 3 agree on at least one of the 4 chunks. */
+  private def hammingChunkRows(sigRows: DataFrame): DataFrame =
+    sigRows
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_val",
         call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)
           .bitwiseAND(lit(0xFFFFL)))
 
-  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
-    * chunks of their simhash match (guarantees recall for Hamming
-    * distance <= 3 by pigeonhole); verified with exact Hamming.
-    * Same single-scan shape as [[minhashLsh]]: persist chunk rows, bound
-    * buckets, explode in-bucket pairs with the Hamming distance computed
-    * inside the pair lambda. Cap diagnostics: [[simhashBucketStats]]. */
-  def simhashDedup(df: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id",
-                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val chunkRows = simhashChunkRows(df, textCol, idCol)
+  /** Hamming-pigeonhole near-dup pairing over a signature frame
+    * `(id, sig)`: chunk explode, bounded buckets, in-bucket pair explode
+    * with exact Hamming computed inside the pair lambda, verified against
+    * `maxHamming`. Same single-scan / cache-lifecycle shape as
+    * [[minhashLsh]]. */
+  private def hammingDedup(sigRows: DataFrame, maxHamming: Int,
+                           maxBucket: Int): DataFrame = {
+    val chunkRows = hammingChunkRows(sigRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = owned(boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
         struct(col("id"), col("sig")), maxBucket)
@@ -329,6 +325,62 @@ object Dedup {
     try pairs.count() finally chunkRows.unpersist()
     pairs
   }
+
+  /** The simhash chunk-row frame `(id, sig, chunk, chunk_val)` — the
+    * native codegen'd SimHash64 expression (bit-identical to [[simhash64]],
+    * the interpreted higher-order-function reference implementation). */
+  private[operators] def simhashChunkRows(df: DataFrame, textCol: String,
+                               idCol: String): DataFrame =
+    hammingChunkRows(
+      parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"),
+          graft.expressions.SimHash64.simhash64(col("text")).as("sig")))
+
+  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
+    * chunks of their simhash match (guarantees recall for Hamming
+    * distance <= 3 by pigeonhole); verified with exact Hamming.
+    * Same single-scan shape as [[minhashLsh]]: persist chunk rows, bound
+    * buckets, explode in-bucket pairs with the Hamming distance computed
+    * inside the pair lambda. Cap diagnostics: [[simhashBucketStats]]. */
+  def simhashDedup(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
+    hammingDedup(
+      parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"),
+          graft.expressions.SimHash64.simhash64(col("text")).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Image near-dup over REAL decoded pixels: 64-bit difference hash
+    * (decode -> gray 9x8 thumbnail -> per-row left<right bits,
+    * [[graft.expressions.ImageOps]]) pushed through the same
+    * Hamming-pigeonhole pairing as [[simhashDedup]]. Invariant to
+    * re-encoding (compression level, scanline filter) and to the
+    * container FORMAT (PNG and uncompressed BMP decode to the same
+    * raster) and uniform brightness shift; rows whose bytes don't decode
+    * (unsupported format, corrupt, bomb-capped) are dropped before
+    * bucketing — at 100 TB the signature
+    * stage is one narrow codegen'd scan, and only 16-byte
+    * (id, sig, chunk, chunk_val) rows ever shuffle. */
+  def imageDedup(df: DataFrame, mediaCol: String = "media",
+                 idCol: String = "doc_id",
+                 maxHamming: Int = 0, maxBucket: Int = 200): DataFrame =
+    hammingDedup(
+      parallelize(df.select(col(idCol).as("id"), col(mediaCol).as("m")))
+        .select(col("id"),
+          graft.expressions.ImageOps.imageDHash(col("m")).as("sig"))
+        .where(col("sig").isNotNull),
+      maxHamming, maxBucket)
+
+  /** [[imageDedup]]'s bucket-cap diagnostics (one row). */
+  def imageBucketStats(df: DataFrame, mediaCol: String = "media",
+                       idCol: String = "doc_id",
+                       maxBucket: Int = 200): DataFrame =
+    bucketStatsOf(hammingChunkRows(
+      df.select(col(idCol).as("id"),
+        graft.expressions.ImageOps.imageDHash(col(mediaCol)).as("sig"))
+        .where(col("sig").isNotNull)),
+      Seq("chunk", "chunk_val"), maxBucket)
 
   /** [[simhashDedup]]'s bucket-cap diagnostics (one row). */
   def simhashBucketStats(df: DataFrame, textCol: String = "text",

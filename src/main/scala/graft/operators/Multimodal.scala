@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * CONTAINER metadata is decoded for real across all three modalities:
   * images ([[decodeImage]]: PNG/GIF/BMP fixed layouts + JPEG SOF walk),
   * audio ([[decodeWav]]: RIFF chunk walk) and video ([[decodeMp4]]:
-  * ISO-BMFF box walk). PNG pixel DATA is decoded for real too
-  * ([[decodePngPixels]]: JDK-zlib IDAT inflate + filter reconstruction).
+  * ISO-BMFF box walk). Sample/pixel DATA is decoded for real wherever
+  * the format needs no codec library: PNG pixels
+  * ([[decodePngPixels]]: JDK-zlib IDAT inflate + filter
+  * reconstruction), uncompressed-BMP pixels
+  * (`expressions.BmpPixels`, feeding the same raster pipeline —
+  * [[featurizeImage]], dHash near-dup) and WAV integer-PCM samples
+  * ([[audioFeatures]]: RIFF walk + per-frame peak/rms/silence).
   * What remains a STUB (`decodeStub`/[[featurizeStub]]) is LOSSY-codec
-  * sample/pixel decode (JPEG pixels, audio samples, video frames) — this
+  * decode (JPEG pixels, compressed audio, video frames) — this
   * container has no codec libraries — exercised through a deterministic
   * fake container embedded by [[attachFakeMedia]]. In production the stub
   * body is replaced by a real codec behind the same column signature
@@ -138,6 +143,16 @@ object Multimodal {
   def decodeWav(media: Column): Column =
     graft.expressions.WavMeta.wavMeta(media)
 
+  /** REAL audio SAMPLE decode: one pass over the WAV integer-PCM frames
+    * -> `(n_frames, duration_ms, peak, rms, silence_ratio)` — the audio
+    * QC signals a corpus pipeline filters on (dead air, clipping-adjacent
+    * peaks, loudness strata) — via the codegen'd
+    * [[graft.expressions.AudioFeatures]] expression. Null for
+    * non-PCM/undecodable payloads (compressed audio stays behind the
+    * stub). */
+  def audioFeatures(media: Column): Column =
+    graft.expressions.AudioOps.audioFeatures(media)
+
   /** REAL video-container decode: MP4/ISO-BMFF box walk (track pixel
     * dimensions, movie duration, track count) via the codegen'd
     * [[graft.expressions.Mp4Meta]] expression. Null for non-MP4. */
@@ -163,6 +178,21 @@ object Multimodal {
       trim(substring(media, 5, 4).cast(StringType)).as("format"),
       u16(9).as("width"), u16(11).as("height"), u16(13).as("n_frames")))
       .otherwise(lit(null).cast(mediaMetaType))
+  }
+
+  /** REAL image feature extraction for PNG payloads: the gray `w x h`
+    * thumbnail (decode -> luma -> box-average pool, all in the codegen'd
+    * [[graft.expressions.ImageOps]] kernels) scaled to [0,1] as a dense
+    * float vector — directly composable with the [[Similarity]] ANN /
+    * cosine operators. Null for payloads the PNG decoder rejects (the
+    * lossy-codec formats stay behind [[featurizeStub]]). One hex pass +
+    * a literal-bounded transform: no UDF, no extra scan. */
+  def featurizeImage(media: Column, w: Int = 8, h: Int = 8): Column = {
+    val hx = hex(graft.expressions.ImageOps.grayThumbnail(media, w, h))
+    when(hx.isNotNull,
+      transform(sequence(lit(0), lit(w * h - 1)), i =>
+        (conv(hx.substr(i * 2 + 1, lit(2)), 16, 10) / lit(255.0))
+          .cast(FloatType)))
   }
 
   /** STUB feature extraction: binary -> dense float vector, derived from

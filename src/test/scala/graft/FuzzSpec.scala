@@ -81,4 +81,43 @@ class FuzzSpec extends AnyFunSuite {
     }
     assert(ScTest.check(params, prop).passed)
   }
+
+  test("image hash/resize kernels never throw on arbitrary bytes and " +
+       "on mutations of the engine's own encoder output (PNG and BMP)") {
+    val validPng = graft.expressions.ImageOps.synthPng(11L, 5)
+    val validBmp = graft.expressions.ImageOps.synthImage(11L, 10)
+    def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
+      for {
+        pos <- Gen.choose(0, valid.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield { val c = valid.clone(); c(pos) = b; c },
+      Gen.choose(0, valid.length).map(valid.take))
+    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      mutations(validPng), mutations(validBmp))
+    val prop = Prop.forAll(bytesGen) { b =>
+      graft.expressions.ImageOps.dhash64(b) // Long or null -- no throw
+      graft.expressions.ImageOps.grayResize(b, 4, 4)
+      graft.expressions.BmpPixels.pixels(b)
+      true
+    }
+    assert(ScTest.check(params, prop).passed)
+  }
+
+  test("audio PCM feature kernel never throws on arbitrary bytes and " +
+       "on mutations of the engine's own encoder output") {
+    val valid = graft.expressions.AudioOps.synthWav(17L)
+    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      for {
+        pos <- Gen.choose(0, valid.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield { val c = valid.clone(); c(pos) = b; c },
+      Gen.choose(0, valid.length).map(valid.take))
+    val prop = Prop.forAll(bytesGen) { b =>
+      graft.expressions.AudioOps.features(b) // row or null -- no throw
+      true
+    }
+    assert(ScTest.check(params, prop).passed)
+  }
 }

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{ImageOps, PngPixels}
+import graft.operators.{Dedup, Multimodal}
+
+/** The image pipeline over REAL pixels: PNG encode (ImageOps.encodePng),
+  * decode (PngPixels), resize (GrayResize), perceptual hash (DHash64)
+  * and the Hamming-pigeonhole near-dup operator built on them.
+  * The JDK's own ImageIO PNG codec serves as the independent decode
+  * oracle for the encoder. */
+class ImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** deterministic RGB raster, values bounded away from 255 so a +10
+    * brightness shift cannot clip */
+  private def raster(w: Int, h: Int, seedMul: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * seedMul + 31) % 200).toByte)
+
+  test("encodePng round-trips through the engine's own decoder for " +
+       "both filters, all channel counts and several levels") {
+    for {
+      (ch, w, h) <- Seq((1, 7, 5), (2, 6, 4), (3, 24, 16), (4, 5, 9))
+      filter <- Seq(0, 2)
+      level <- Seq(0, 6, 9)
+    } {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 37 + level) % 251).toByte)
+      val row = PngPixels.pixels(ImageOps.encodePng(px, w, h, ch, level, filter))
+      assert(row != null, s"ch=$ch filter=$filter level=$level")
+      assert(row.getInt(0) == w && row.getInt(1) == h && row.getInt(2) == ch)
+      assert(java.util.Arrays.equals(row.getBinary(3), px),
+        s"pixels differ: ch=$ch filter=$filter level=$level")
+    }
+  }
+
+  test("encodePng output is valid to the JDK's independent PNG codec " +
+       "(ImageIO), pixel-for-pixel") {
+    val w = 24; val h = 16
+    val px = raster(w, h, 37)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageOps.encodePng(px, w, h, 3, 6, 2)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val i = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xFF) == (px(i) & 0xFF) &&
+             ((rgb >> 8) & 0xFF) == (px(i + 1) & 0xFF) &&
+             (rgb & 0xFF) == (px(i + 2) & 0xFF), s"pixel ($x,$y)")
+    }
+  }
+
+  test("dhash is invariant to re-encoding (level, filter) and to " +
+       "uniform brightness shift; synthPng bytes actually differ") {
+    val w = 24; val h = 16
+    val px = raster(w, h, 61)
+    val hashes = for (filter <- Seq(0, 2); level <- Seq(0, 3, 9))
+      yield ImageOps.dhash64(ImageOps.encodePng(px, w, h, 3, level, filter))
+    assert(hashes.forall(_ != null) && hashes.distinct.size == 1)
+
+    val brighter = px.map(b => ((b & 0xFF) + 10).toByte)
+    assert(ImageOps.dhash64(ImageOps.encodePng(brighter, w, h, 3, 6, 0)) ==
+      hashes.head)
+
+    // same seed, different level: different bytes, same decoded pixels
+    val a = ImageOps.synthPng(7L, 0); val b = ImageOps.synthPng(7L, 1)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(java.util.Arrays.equals(
+      PngPixels.pixels(a).getBinary(3), PngPixels.pixels(b).getBinary(3)))
+    assert(ImageOps.dhash64(a) == ImageOps.dhash64(b))
+    assert(ImageOps.dhash64(ImageOps.synthPng(8L, 0)) != ImageOps.dhash64(a))
+  }
+
+  test("a small local edit moves the hash a small Hamming distance; " +
+       "distinct images are far apart") {
+    val w = 24; val h = 16
+    val px = raster(w, h, 61)
+    val edited = px.clone()
+    // blank one 6x4 corner block (a logo/watermark-sized edit)
+    for (y <- 0 until 4; x <- 0 until 6; c <- 0 until 3)
+      edited((y * w + x) * 3 + c) = 0
+    val d0 = ImageOps.dhash64(ImageOps.encodePng(px, w, h, 3, 6, 0))
+    val d1 = ImageOps.dhash64(ImageOps.encodePng(edited, w, h, 3, 9, 2))
+    val near = java.lang.Long.bitCount(d0 ^ d1)
+    assert(near > 0 && near <= 12, s"edit moved $near bits")
+    val far = java.lang.Long.bitCount(
+      ImageOps.dhash64(ImageOps.synthPng(1L, 0)) ^
+        ImageOps.dhash64(ImageOps.synthPng(2L, 0)))
+    assert(far > 12, s"distinct images only $far bits apart")
+  }
+
+  test("grayResize pools deterministically, handles upscale, and is " +
+       "the identity-luma path for gray inputs") {
+    // 2x2 gray image with known values -> 1x1 average
+    val g = Array[Byte](10, 20, 30, 40)
+    val one = ImageOps.grayResize(ImageOps.encodePng(g, 2, 2, 1, 6, 0), 1, 1)
+    assert(one.length == 1 && (one(0) & 0xFF) == 25)
+    // upscale 1x1 -> 3x2 replicates the pixel
+    val up = ImageOps.grayResize(
+      ImageOps.encodePng(Array[Byte](99), 1, 1, 1, 6, 0), 3, 2)
+    assert(up.length == 6 && up.forall(b => (b & 0xFF) == 99))
+    // non-PNG bytes -> null, not a throw
+    assert(ImageOps.grayResize("not a png".getBytes, 4, 4) == null)
+    assert(ImageOps.dhash64(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("BMP pixel decode matches the PNG decode of the same raster " +
+       "bit-for-bit (cross-format invariance), including palette, " +
+       "top-down, 32bpp and row-padding variants") {
+    import graft.expressions.BmpPixels
+    val w = 5; val h = 3 // odd width: 24bpp rows need 1 pad byte
+    val px = raster(w, h, 37)
+    val viaBmp = BmpPixels.pixels(BmpPixels.encodeBmp(px, w, h))
+    assert(viaBmp != null && viaBmp.getInt(0) == w && viaBmp.getInt(1) == h)
+    assert(java.util.Arrays.equals(viaBmp.getBinary(3), px))
+    val viaPng = PngPixels.pixels(ImageOps.encodePng(px, w, h, 3, 6, 2))
+    assert(java.util.Arrays.equals(viaBmp.getBinary(3), viaPng.getBinary(3)))
+    // the JDK's independent BMP writer (ImageIO) against our decoder:
+    // gray-palette 8bpp, bottom-up — and ImageIO's own reader accepts ours
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 40 + y * 11) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val pal = BmpPixels.pixels(bos.toByteArray)
+    assert(pal != null && pal.getInt(2) == 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((pal.getBinary(3)((y * w + x) * 3 + c) & 0xFF) ==
+        (x * 40 + y * 11) % 256, s"palette pixel ($x,$y,$c)")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(BmpPixels.encodeBmp(px, w, h)))
+    assert(back != null && (back.getRGB(1, 1) & 0xFFFFFF) ==
+      (((px(3 * w + 3) & 0xFF) << 16) | ((px(3 * w + 4) & 0xFF) << 8) |
+        (px(3 * w + 5) & 0xFF)))
+    // same image as PNG and as BMP -> identical dHash (format-blind)
+    val seedPng = ImageOps.synthImage(9L, 4)  // a PNG variant
+    val seedBmp = ImageOps.synthImage(9L, 10) // the BMP variant
+    assert(!java.util.Arrays.equals(seedPng, seedBmp))
+    assert(ImageOps.dhash64(seedPng) == ImageOps.dhash64(seedBmp))
+    // malformed BMPs: null, never a throw
+    assert(BmpPixels.pixels("BMnot really".getBytes) == null)
+    assert(BmpPixels.pixels(bos.toByteArray.take(40)) == null)
+  }
+
+  test("imageDedup recovers same-image groups across encodings and " +
+       "near-dup edits via Hamming buckets; non-PNG rows are dropped") {
+    val w = 24; val h = 16
+    val base = raster(w, h, 61)
+    val edited = base.clone()
+    for (y <- 0 until 4; x <- 0 until 6; c <- 0 until 3)
+      edited((y * w + x) * 3 + c) = 0
+    val rows = Seq(
+      (1L, ImageOps.encodePng(base, w, h, 3, 0, 0)),
+      (2L, ImageOps.encodePng(base, w, h, 3, 9, 2)), // re-encoded copy
+      (3L, ImageOps.encodePng(edited, w, h, 3, 6, 0)), // near-dup edit
+      (4L, ImageOps.synthPng(42L, 3)), // unrelated
+      (5L, "garbage bytes".getBytes) // undecodable
+    ).toDF("doc_id", "media")
+    val exact = Dedup.imageDedup(rows, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val near = Dedup.imageDedup(rows, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((1L, 3L)) &&
+      near.contains((2L, 3L)) && !near.exists(p => p._1 == 4L || p._2 == 4L)
+      && !near.exists(p => p._1 == 5L || p._2 == 5L))
+    val stats = Dedup.imageBucketStats(rows).collect().head
+    assert(stats.getLong(stats.fieldIndex("dropped_buckets")) == 0)
+    Dedup.releaseCaches()
+  }
+
+  test("featurizeImage yields the thumbnail as a [0,1] float vector " +
+       "consistent with the grayResize kernel") {
+    val png = ImageOps.synthPng(5L, 4)
+    val vec = Seq(Tuple1(png)).toDF("media")
+      .select(Multimodal.featurizeImage(col("media"), 8, 8).as("v"))
+      .collect().head.getSeq[Float](0)
+    val kernel = ImageOps.grayResize(png, 8, 8)
+    assert(vec.length == 64)
+    for (i <- 0 until 64)
+      assert(math.abs(vec(i) - (kernel(i) & 0xFF) / 255.0f) < 1e-6)
+    // undecodable payload -> null vector (hex(null) is null)
+    val nul = Seq(Tuple1("nope".getBytes)).toDF("media")
+      .select(Multimodal.featurizeImage(col("media")).as("v"))
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
+  test("the synthetic-PNG dHash signature evaluates identically " +
+       "interpreted and codegen'd") {
+    val df = spark.range(0, 64).select(
+      ImageOps.synthPng(pmod(col("id"), lit(7L)),
+        pmod(col("id"), lit(9L)).cast("int")).as("media"))
+    val viaExpr = df.select(ImageOps.imageDHash(col("media")).as("sig"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaKernel = df.collect()
+      .map(r => ImageOps.dhash64(r.getAs[Array[Byte]](0)).longValue()).toSeq
+    assert(viaExpr == viaKernel)
+  }
+}
