@@ -145,12 +145,16 @@ object ImageOps {
   }
 
   /** Format-agnostic raster decode: PNG ([[PngPixels]]) else
-    * uncompressed BMP ([[BmpPixels]]) — both emit the identical
-    * `(w, h, channels, pixels)` layout, so everything downstream is
-    * format-blind. */
+    * uncompressed BMP ([[BmpPixels]]) else GIF ([[GifPixels]]) — all
+    * three emit the identical `(w, h, channels, pixels)` layout, so
+    * everything downstream is format-blind. (Each decoder rejects the
+    * other formats on the signature bytes, so the chain costs two
+    * byte compares per miss.) */
   def decodeRaster(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val png = PngPixels.pixels(b)
-    if (png != null) png else BmpPixels.pixels(b)
+    if (png != null) return png
+    val bmp = BmpPixels.pixels(b)
+    if (bmp != null) bmp else GifPixels.pixels(b)
   }
 
   /** Image bytes (PNG or BMP) -> `tw x th` grayscale thumbnail

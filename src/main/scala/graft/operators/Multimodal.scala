@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * ISO-BMFF box walk). Sample/pixel DATA is decoded for real wherever
   * the format needs no codec library: PNG pixels
   * ([[decodePngPixels]]: JDK-zlib IDAT inflate + filter
-  * reconstruction), uncompressed-BMP pixels
-  * (`expressions.BmpPixels`, feeding the same raster pipeline —
-  * [[featurizeImage]], dHash near-dup) and WAV integer-PCM samples
+  * reconstruction), uncompressed-BMP pixels (`expressions.BmpPixels`),
+  * GIF pixels (`expressions.GifPixels`: real LZW + de-interlace) — all
+  * three feeding the same format-blind raster pipeline
+  * ([[featurizeImage]], dHash near-dup) — and WAV integer-PCM samples
   * ([[audioFeatures]]: RIFF walk + per-frame peak/rms/silence).
   * What remains a STUB (`decodeStub`/[[featurizeStub]]) is LOSSY-codec
   * decode (JPEG pixels, compressed audio, video frames) — this

@@ -142,6 +142,59 @@ class ImageSpec extends SparkSpec {
     assert(BmpPixels.pixels(bos.toByteArray.take(40)) == null)
   }
 
+  test("GIF pixel decode (real LZW) round-trips the engine's own " +
+       "encoder, agrees with ImageIO both ways including forced " +
+       "interlace, and is raster-identical to PNG of the same image") {
+    import graft.expressions.GifPixels
+    val w = 24; val h = 16
+    // a ≤256-color raster: gray gradient (so PNG-gray comparison works)
+    val gray = Array.tabulate(w * h)(i => ((i * 7 + 3) % 256).toByte)
+    val rgb = gray.flatMap(g => Array(g, g, g))
+    val gif = GifPixels.encodeGif(rgb, w, h)
+    val ours = GifPixels.pixels(gif)
+    assert(ours != null && ours.getInt(0) == w && ours.getInt(2) == 3)
+    assert(java.util.Arrays.equals(ours.getBinary(3), rgb))
+    // the JDK's independent GIF codec accepts our stream, pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFF) == (gray(y * w + x) & 0xFF),
+        s"ImageIO pixel ($x,$y)")
+    // ...and we decode ImageIO's own (really-compressed) GIF stream,
+    // interlaced and not
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xFF)
+    val streams = for (interlace <- Seq(false, true)) yield {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(
+        if (interlace) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+      writer.dispose(); ios.close()
+      val theirs = GifPixels.pixels(bos.toByteArray)
+      assert(theirs != null, s"interlace=$interlace")
+      assert(java.util.Arrays.equals(theirs.getBinary(3), rgb),
+        s"interlace=$interlace")
+      bos.toByteArray.toSeq
+    }
+    // the toggle really flipped the interlace bit (row order differs),
+    // so the pass above exercised the de-interlacer, not the same stream
+    assert(streams.head != streams(1))
+    // format-blind raster pipeline: gray PNG and palette GIF of the same
+    // image produce the identical dHash
+    val png = ImageOps.encodePng(gray, w, h, 1, 6, 2)
+    assert(ImageOps.dhash64(png) == ImageOps.dhash64(gif))
+    // malformed GIFs: null, never a throw
+    assert(GifPixels.pixels("GIF89a_not_really".getBytes) == null)
+    assert(GifPixels.pixels(gif.take(gif.length / 2)) == null)
+  }
+
   test("imageDedup recovers same-image groups across encodings and " +
        "near-dup edits via Hamming buckets; non-PNG rows are dropped") {
     val w = 24; val h = 16
