@@ -181,13 +181,14 @@ object Multimodal {
       .otherwise(lit(null).cast(mediaMetaType))
   }
 
-  /** REAL image feature extraction for PNG payloads: the gray `w x h`
-    * thumbnail (decode -> luma -> box-average pool, all in the codegen'd
-    * [[graft.expressions.ImageOps]] kernels) scaled to [0,1] as a dense
-    * float vector — directly composable with the [[Similarity]] ANN /
-    * cosine operators. Null for payloads the PNG decoder rejects (the
-    * lossy-codec formats stay behind [[featurizeStub]]). One hex pass +
-    * a literal-bounded transform: no UDF, no extra scan. */
+  /** REAL image feature extraction for PNG/BMP/GIF payloads: the gray
+    * `w x h` thumbnail (format-blind decode -> luma -> box-average pool,
+    * all in the codegen'd [[graft.expressions.ImageOps]] kernels) scaled
+    * to [0,1] as a dense float vector — directly composable with the
+    * [[Similarity]] ANN / cosine operators. Null for payloads the raster
+    * decoders reject (the lossy-codec formats stay behind
+    * [[featurizeStub]]). One hex pass + a literal-bounded transform:
+    * no UDF, no extra scan. */
   def featurizeImage(media: Column, w: Int = 8, h: Int = 8): Column = {
     val hx = hex(graft.expressions.ImageOps.grayThumbnail(media, w, h))
     when(hx.isNotNull,
