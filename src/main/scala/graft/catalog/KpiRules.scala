@@ -50,11 +50,27 @@ case class MapLinkProbe(entries: Map[String, (Boolean, String)])
     else coalesce(declaredType, element_at(typedlit(mimes), href))
 }
 object MapLinkProbe {
+  /** Hard ceiling on in-plan probe entries: beyond this a literal map is
+    * a driver-memory + codegen-constant bomb (every task ships and
+    * compiles the whole map). The guard fails FAST with the scale path
+    * spelled out rather than OOMing mid-collect at 100 TB. */
+  val MaxLiteralEntries: Int = 10000
+
   /** Collect a probe dimension table (href, accessible, mime) into an
-    * in-plan probe. Caller guarantees the dim is literal-sized. */
-  def fromTable(probeTable: org.apache.spark.sql.DataFrame): MapLinkProbe =
-    MapLinkProbe(probeTable.select("href", "accessible", "mime").collect()
+    * in-plan probe. Only for literal-sized dims (<= [[MaxLiteralEntries]]
+    * rows, enforced via a limit-probe before the collect); larger probe
+    * dims must go through the join path,
+    * [[graft.engine.DatasetRules.linkHealthJoin]]. */
+  def fromTable(probeTable: org.apache.spark.sql.DataFrame): MapLinkProbe = {
+    val rows = probeTable.select("href", "accessible", "mime")
+      .limit(MaxLiteralEntries + 1).collect()
+    require(rows.length <= MaxLiteralEntries,
+      s"probe dim exceeds $MaxLiteralEntries entries - an in-plan literal " +
+        "map would bloat the driver and generated code; join it instead " +
+        "via graft.engine.DatasetRules.linkHealthJoin")
+    MapLinkProbe(rows
       .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap)
+  }
 }
 
 /** One KPI compiled to Catalyst expressions: unlike ETS there is no early

@@ -27,6 +27,14 @@ import org.apache.spark.sql.types.DataType
   * Same untrusted-bytes guards as the siblings: dimension/raster bomb
   * caps before allocation, bounds-checked sub-block walk, corrupt LZW
   * streams (bad codes, early EOF) return null, never throw.
+  *
+  * Declared subset, in addition to first-frame/palette scope:
+  * TRANSPARENCY IS OUT OF SCOPE — a GCE transparent-color index decodes
+  * to its palette color (no alpha channel exists in the shared raster
+  * struct), so a logically identical image saved as a transparent GIF
+  * vs a flattened PNG/BMP can hash differently. Corpora that mix
+  * transparent GIFs with flattened twins should treat GIF rows as a
+  * separate near-dup domain or pre-flatten them.
   */
 case class GifPixels(child: Expression) extends MediaProbe {
   override def dataType: DataType = PngPixels.pixType

@@ -292,25 +292,58 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 4x16-bit chunk explode over a 64-bit signature frame `(id, sig)` —
-    * the pigeonhole stage shared by every Hamming-space near-dup variant
-    * (text [[simhashDedup]], image [[imageDedup]]): two signatures within
-    * Hamming distance 3 agree on at least one of the 4 chunks. */
-  private def hammingChunkRows(sigRows: DataFrame): DataFrame =
+  /** Number of pigeonhole chunks that guarantees recall for Hamming
+    * distance <= maxHamming over a 64-bit signature: maxHamming+1 chunks
+    * partition the 64 bits, so <= maxHamming differing bits cannot touch
+    * every chunk — at least one chunk matches exactly. Capped at 64
+    * (1-bit chunks), i.e. full recall is guaranteed for maxHamming <= 63.
+    * The trade is explicit: more chunks -> shorter chunk values -> denser
+    * buckets (a c-chunk scheme has 2^(64/c) distinct values per chunk),
+    * so large maxHamming costs bucket fan-in, never silent recall loss
+    * (maxBucket drops stay diagnosed via the *BucketStats queries). */
+  private[graft] def hammingChunks(maxHamming: Int): Int =
+    math.min(math.max(maxHamming, 0) + 1, 64)
+
+  /** (bit offset, mask) per chunk for a `chunks`-way partition of 64
+    * bits: `64 % chunks` leading chunks take one extra bit so every bit
+    * is covered exactly once. */
+  private[graft] def chunkBounds(chunks: Int): Seq[(Int, Long)] = {
+    val base = 64 / chunks; val rem = 64 % chunks
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(chunks - rem)(base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) =>
+      (off, if (w >= 64) -1L else (1L << w) - 1L)
+    }
+  }
+
+  /** Chunk explode over a 64-bit signature frame `(id, sig)` — the
+    * pigeonhole stage shared by every Hamming-space near-dup variant
+    * (text [[simhashDedup]], image [[imageDedup]]). Chunk count derives
+    * from the caller's maxHamming via [[hammingChunks]] (default 4 =
+    * the classic 4x16-bit split, recall-exact for Hamming <= 3); offsets
+    * and masks ride as literal arrays indexed by the exploded chunk id,
+    * so the whole stage stays codegen'd with zero joins. */
+  private def hammingChunkRows(sigRows: DataFrame,
+                               chunks: Int = 4): DataFrame = {
+    val bounds = chunkBounds(chunks)
     sigRows
-      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk_val",
-        call_function("shiftrightunsigned", col("sig"), col("chunk") * 16)
-          .bitwiseAND(lit(0xFFFFL)))
+        call_function("shiftrightunsigned", col("sig"),
+          element_at(typedlit(bounds.map(_._1)), col("chunk") + 1))
+          .bitwiseAND(
+            element_at(typedlit(bounds.map(_._2)), col("chunk") + 1)))
+  }
 
   /** Hamming-pigeonhole near-dup pairing over a signature frame
-    * `(id, sig)`: chunk explode, bounded buckets, in-bucket pair explode
+    * `(id, sig)`: chunk explode (chunk count derived from `maxHamming`
+    * so recall is guaranteed for any maxHamming <= 63, see
+    * [[hammingChunks]]), bounded buckets, in-bucket pair explode
     * with exact Hamming computed inside the pair lambda, verified against
     * `maxHamming`. Same single-scan / cache-lifecycle shape as
     * [[minhashLsh]]. */
-  private def hammingDedup(sigRows: DataFrame, maxHamming: Int,
+  private[graft] def hammingDedup(sigRows: DataFrame, maxHamming: Int,
                            maxBucket: Int): DataFrame = {
-    val chunkRows = hammingChunkRows(sigRows)
+    val chunkRows = hammingChunkRows(sigRows, hammingChunks(maxHamming))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = owned(boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
         struct(col("id"), col("sig")), maxBucket)
@@ -330,18 +363,20 @@ object Dedup {
     * native codegen'd SimHash64 expression (bit-identical to [[simhash64]],
     * the interpreted higher-order-function reference implementation). */
   private[operators] def simhashChunkRows(df: DataFrame, textCol: String,
-                               idCol: String): DataFrame =
+                               idCol: String, chunks: Int = 4): DataFrame =
     hammingChunkRows(
       parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"),
-          graft.expressions.SimHash64.simhash64(col("text")).as("sig")))
+          graft.expressions.SimHash64.simhash64(col("text")).as("sig")),
+      chunks)
 
-  /** SimHash near-dup: docs are candidates when any of the 4 16-bit
-    * chunks of their simhash match (guarantees recall for Hamming
-    * distance <= 3 by pigeonhole); verified with exact Hamming.
-    * Same single-scan shape as [[minhashLsh]]: persist chunk rows, bound
-    * buckets, explode in-bucket pairs with the Hamming distance computed
-    * inside the pair lambda. Cap diagnostics: [[simhashBucketStats]]. */
+  /** SimHash near-dup: docs are candidates when any of the
+    * maxHamming+1 pigeonhole chunks of their simhash match — full
+    * recall for any maxHamming <= 63 ([[hammingChunks]]); verified with
+    * exact Hamming. Same single-scan shape as [[minhashLsh]]: persist
+    * chunk rows, bound buckets, explode in-bucket pairs with the Hamming
+    * distance computed inside the pair lambda. Cap diagnostics:
+    * [[simhashBucketStats]] (pass the same maxHamming). */
   def simhashDedup(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
                    maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
@@ -354,7 +389,9 @@ object Dedup {
   /** Image near-dup over REAL decoded pixels: 64-bit difference hash
     * (decode -> gray 9x8 thumbnail -> per-row left<right bits,
     * [[graft.expressions.ImageOps]]) pushed through the same
-    * Hamming-pigeonhole pairing as [[simhashDedup]]. Invariant to
+    * Hamming-pigeonhole pairing as [[simhashDedup]] — chunk count
+    * derives from maxHamming, so recall is exact for any
+    * maxHamming <= 63 ([[hammingChunks]]). Invariant to
     * re-encoding (compression level, scanline filter) and to the
     * container FORMAT (PNG and uncompressed BMP decode to the same
     * raster) and uniform brightness shift; rows whose bytes don't decode
@@ -372,21 +409,25 @@ object Dedup {
         .where(col("sig").isNotNull),
       maxHamming, maxBucket)
 
-  /** [[imageDedup]]'s bucket-cap diagnostics (one row). */
+  /** [[imageDedup]]'s bucket-cap diagnostics (one row); pass the SAME
+    * maxHamming/maxBucket as the dedup call so the stats describe the
+    * exact bucketing the pairing ran with. */
   def imageBucketStats(df: DataFrame, mediaCol: String = "media",
                        idCol: String = "doc_id",
-                       maxBucket: Int = 200): DataFrame =
+                       maxHamming: Int = 0, maxBucket: Int = 200): DataFrame =
     bucketStatsOf(hammingChunkRows(
       df.select(col(idCol).as("id"),
         graft.expressions.ImageOps.imageDHash(col(mediaCol)).as("sig"))
-        .where(col("sig").isNotNull)),
+        .where(col("sig").isNotNull), hammingChunks(maxHamming)),
       Seq("chunk", "chunk_val"), maxBucket)
 
-  /** [[simhashDedup]]'s bucket-cap diagnostics (one row). */
+  /** [[simhashDedup]]'s bucket-cap diagnostics (one row); pass the SAME
+    * maxHamming/maxBucket as the dedup call. */
   def simhashBucketStats(df: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
-                         maxBucket: Int = 200): DataFrame =
-    bucketStatsOf(simhashChunkRows(df, textCol, idCol),
+                         maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
+    bucketStatsOf(
+      simhashChunkRows(df, textCol, idCol, hammingChunks(maxHamming)),
       Seq("chunk", "chunk_val"), maxBucket)
 
   /** Exact pairwise n-gram Jaccard for a (small) candidate pair table:

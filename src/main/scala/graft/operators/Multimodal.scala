@@ -187,15 +187,20 @@ object Multimodal {
     * to [0,1] as a dense float vector — directly composable with the
     * [[Similarity]] ANN / cosine operators. Null for payloads the raster
     * decoders reject (the lossy-codec formats stay behind
-    * [[featurizeStub]]). One hex pass + a literal-bounded transform:
-    * no UDF, no extra scan. */
-  def featurizeImage(media: Column, w: Int = 8, h: Int = 8): Column = {
-    val hx = hex(graft.expressions.ImageOps.grayThumbnail(media, w, h))
-    when(hx.isNotNull,
-      transform(sequence(lit(0), lit(w * h - 1)), i =>
-        (conv(hx.substr(i * 2 + 1, lit(2)), 16, 10) / lit(255.0))
-          .cast(FloatType)))
-  }
+    * [[featurizeStub]]). The decode->resize kernel appears ONCE in the
+    * plan BY CONSTRUCTION: it rides through a single-element array into
+    * a lambda variable, so every reference inside the transform binds an
+    * already-evaluated value — no reliance on whole-stage subexpression
+    * elimination deduping a twice-written expression. */
+  def featurizeImage(media: Column, w: Int = 8, h: Int = 8): Column =
+    element_at(
+      transform(
+        array(hex(graft.expressions.ImageOps.grayThumbnail(media, w, h))),
+        hx => when(hx.isNotNull,
+          transform(sequence(lit(0), lit(w * h - 1)), i =>
+            (conv(hx.substr(i * 2 + 1, lit(2)), 16, 10) / lit(255.0))
+              .cast(FloatType)))),
+      1)
 
   /** STUB feature extraction: binary -> dense float vector, derived from
     * payload hash bytes (deterministic stand-in for an image/audio

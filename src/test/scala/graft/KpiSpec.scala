@@ -20,6 +20,24 @@ class KpiSpec extends SparkSpec {
       .map(t => t.getString(0).split("/").last -> t).toMap
   }
 
+  test("MapLinkProbe.fromTable fails fast on over-literal-sized probe " +
+       "dims, pointing at the join path") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(graft.catalog.MapLinkProbe.MaxLiteralEntries + 1)
+      .select(concat(lit("https://example.org/"), col("id")).as("href"),
+        lit(true).as("accessible"), lit("text/html").as("mime"))
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.MapLinkProbe.fromTable(big)
+    }
+    assert(e.getMessage.contains("linkHealthJoin"))
+    // literal-sized dims still work
+    val small = spark.range(3)
+      .select(concat(lit("https://example.org/"), col("id")).as("href"),
+        lit(true).as("accessible"), lit("text/html").as("mime"))
+    assert(graft.catalog.MapLinkProbe.fromTable(small)
+      .entries.size == 3)
+  }
+
   test("passing record: summary 32/32, 100%, grade A (run_tests.py:225-228)") {
     val r = validated("wcmp2-passing.json")
     val s = r.getStruct(r.fieldIndex("kpi_summary"))

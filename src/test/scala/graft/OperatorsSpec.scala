@@ -135,6 +135,34 @@ class OperatorsSpec extends SparkSpec {
       Seq("n_buckets", "kept_buckets", "dropped_buckets", "dropped_rows"))
   }
 
+  test("hamming pigeonhole: chunk count derives from maxHamming and the " +
+       "chunk partition covers all 64 bits exactly once") {
+    for (mh <- 0 to 70) {
+      val c = Dedup.hammingChunks(mh)
+      assert(c == math.min(mh + 1, 64))
+      val covered = Dedup.chunkBounds(c).flatMap { case (off, mask) =>
+        (0 until 64).filter(b =>
+          b >= off && ((mask >>> (b - off)) & 1L) == 1L)
+      }
+      assert(covered.sorted == (0 until 64), s"chunks=$c")
+    }
+  }
+
+  test("hamming pigeonhole: maxHamming > 3 keeps full recall (bits spread " +
+       "across all four 16-bit quarters would defeat a fixed 4-chunk split)") {
+    // sigs differ in exactly 4 bits, one per 16-bit quarter: the classic
+    // 4x16 scheme has no matching chunk; the derived 5-chunk scheme must
+    // still pair them (recall guaranteed for hamming <= maxHamming)
+    val sigs = Seq((1L, 0x0001000100010001L), (2L, 0L)).toDF("id", "sig")
+    val pairs = Dedup.hammingDedup(sigs, maxHamming = 4, maxBucket = 10)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getInt(pairs.head.fieldIndex("hamming")) == 4)
+    // and the bound is still enforced: the same sigs at maxHamming=3 drop
+    assert(Dedup.hammingDedup(sigs, maxHamming = 3, maxBucket = 10)
+      .collect().isEmpty)
+  }
+
   test("simhash: identical text -> hamming 0, near text -> small hamming") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simhash64(col("text")).as("sig")).collect()
