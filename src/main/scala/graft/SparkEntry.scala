@@ -135,6 +135,24 @@ object SparkEntry {
           pmod(col("doc_id") * 7 + 3, lit(12L)).cast("int")).as("media"))
     }
 
+  /** Per-doc BPE token counts computed by the INDEPENDENT reference
+    * implementation ([[graft.tools.BpeReference]]: string-pair ranks,
+    * immutable-list merging — nothing shared with the codegen'd kernel
+    * but the published spec), dumped once per JVM. The q_token_bpe
+    * oracle reads this dump, so DuckDB cross-checks kernel vs reference
+    * on every document; q_token_budget's oracle re-derives the budget
+    * cut from the same counts. Static dump name: the driver runs one
+    * sf dir per JVM (same contract as the records_* dumps). */
+  private[graft] def bpeRefTable(s: SparkSession, dir: String): DataFrame =
+    OracleDump.table(s, "bpe_ref") {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "lang", "text")
+        .as[(Long, String, String)]
+        .map { case (id, lang, txt) =>
+          (id, lang, graft.tools.BpeReference.count(txt)) }
+        .toDF("doc_id", "lang", "n_bpe")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- WCMP2 constraint suite (fixture-seeded; ScalaTest-golden) ------
     "wcmp_violations" -> ((s, _) =>
@@ -329,12 +347,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
              min("n_tokens").as("min_tokens"),
              max("n_tokens").as("max_tokens"))),
-    // BPE-ish subword token counting (regex pretokenizer)
-    "q_token_bpe" -> ((s, dir) =>
+    // EXACT merges-based BPE token counts (codegen'd kernel) per doc;
+    // the oracle reads per-doc counts the structurally independent
+    // BpeReference implementation dumped — any single-document
+    // disagreement between the two engines is a red row
+    "q_token_bpe" -> ((s, dir) => {
+      bpeRefTable(s, dir) // force the reference dump the oracle reads
       t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(sum(TextAnalysis.tokenCountBpe(col("text")))
-          .as("total_bpe_tokens"))),
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
     // corpus term statistics: top-10 tokens per language (explode ->
     // count -> windowed top-k; deterministic tiebreak on term)
     "q_top_terms" -> ((s, dir) => {
@@ -444,6 +467,31 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, k = 10)
         .select("query_id", "id", "rank").orderBy("query_id", "rank")
     }),
+    // measured IVF recall against the brute-force truth: both result
+    // sets are dumped, Spark joins them into per-query recall@10, and
+    // DuckDB recomputes the same join from the same dumped bytes —
+    // converting the approximate-ANN family from rows-only into an
+    // oracle-checked, committed recall number
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val bf = OracleDump.table(s, "ann_bf") {
+        Similarity.bruteForceTopK(emb, queries, k = 10)
+          .select("query_id", "id", "rank")
+      }
+      val ivf = OracleDump.table(s, "ann_ivf") {
+        Similarity.ivfTopK(emb, queries, k = 10)
+          .select("query_id", "id", "rank")
+      }
+      bf.join(ivf.withColumnRenamed("rank", "ivf_rank"),
+          Seq("query_id", "id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("ivf_rank")).as("n_found"),
+          (count(col("ivf_rank")).cast("double") / count(lit(1)))
+            .as("recall_at_10"))
+        .orderBy("query_id")
+    }),
     // exact-Jaccard twin of q_minhash_pairs' verification kernel, on a
     // deterministic pair set (adjacent doc ids) so DuckDB can mirror it
     "q_jaccard_exact" -> ((s, dir) => {
@@ -531,7 +579,7 @@ object SparkEntry {
           sum(when(col("quality.quality_score") >= 0.6, 1).otherwise(0))
             .as("n_high_quality"),
           sum("n_tokens_ws").as("tokens_ws"),
-          sum("n_tokens_bpe").as("tokens_bpe"))
+          sum("n_tokens_pretok").as("tokens_pretok"))
         .orderBy("lang")),
     "q_multimodal" -> ((s, dir) => {
       import s.implicits._
@@ -592,17 +640,22 @@ object SparkEntry {
         k = 5, salts = 8)
         .select("doc_id", "source").orderBy("doc_id")),
     // token-budget sample: greedily fill a per-lang token budget in
-    // deterministic hash order. The engine runs the bucketed path (4096
-    // hash-prefix buckets, driver prefix sums, exact window over the cut
-    // bucket only); the oracle runs the naive full window — identical row
-    // sets prove the bucketed cut exact
-    "q_token_budget" -> ((s, dir) =>
+    // deterministic hash order, keyed to EXACT BPE token counts (the
+    // metric a training pipeline actually budgets with). The engine runs
+    // the bucketed path (4096 hash-prefix buckets, driver prefix sums,
+    // exact window over the cut bucket only) over kernel counts; the
+    // oracle runs the naive full window over the independent
+    // BpeReference counts from the dump — proving both the bucketed cut
+    // AND the tokenizer in one row-set equality
+    "q_token_budget" -> ((s, dir) => {
+      bpeRefTable(s, dir) // force the reference dump the oracle joins
       Curation.tokenBudgetSample(
         t(s, dir, "documents").withColumn("n_tok",
-          size(TextAnalysis.tokens(col("text")))),
-        "lang", "n_tok", Map("en" -> 2000L, "de" -> 1500L),
-        defaultBudget = 800L, keyCol = "doc_id", seed = "tb7")
-        .select("doc_id", "lang").orderBy("doc_id")),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long")),
+        "lang", "n_tok", Map("en" -> 4000L, "de" -> 3000L),
+        defaultBudget = 1600L, keyCol = "doc_id", seed = "tb7")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // filter funnel: first-reject attribution across 4 cleaning rules in
     // ONE aggregate pass; drops sum to n_in - n_out by construction
     "q_filter_funnel" -> ((s, dir) =>
@@ -1463,11 +1516,13 @@ object SparkEntry {
       """SELECT md5(substr(text, 1, 60)) AS prefix_md5,
         | count(*) AS n_copies, min(doc_id) AS keep_id
         | FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // the dump carries counts from the independent JVM reference BPE
+    // implementation; equality against the Spark result proves the
+    // codegen'd kernel document-by-document
     "q_token_bpe" ->
-      """SELECT lang, CAST(sum(len(regexp_extract_all(text,
-        | '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')))
-        | AS BIGINT) AS total_bpe_tokens
-        | FROM documents GROUP BY lang""".stripMargin,
+      s"""SELECT doc_id, CAST(n_bpe AS INTEGER) AS n_bpe
+        | FROM read_parquet('${OracleDump.glob("bpe_ref")}')
+        | ORDER BY doc_id""".stripMargin,
     "q_pii" -> {
       import graft.operators.TextAnalysis.piiPatterns
       val counts = piiPatterns.map { case (c, p, _) =>
@@ -1679,6 +1734,13 @@ object SparkEntry {
         |      THEN coalesce(comp.component, ex.exact_canon)
         | END AS duplicate_of
         |FROM ex LEFT JOIN comp ON comp.id = ex.exact_canon""".stripMargin,
+    "q_ann_recall" ->
+      s"""SELECT b.query_id, CAST(count(i.rank) AS BIGINT) AS n_found,
+        |  CAST(count(i.rank) AS DOUBLE) / count(*) AS recall_at_10
+        | FROM read_parquet('${OracleDump.glob("ann_bf")}') b
+        | LEFT JOIN read_parquet('${OracleDump.glob("ann_ivf")}') i
+        |   ON b.query_id = i.query_id AND b.id = i.id
+        | GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "q_cosine_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
@@ -1730,7 +1792,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_high_quality,
         |  CAST(sum(ntoks_i) AS BIGINT) AS tokens_ws,
-        |  CAST(sum(bpe) AS BIGINT) AS tokens_bpe
+        |  CAST(sum(bpe) AS BIGINT) AS tokens_pretok
         | FROM scored GROUP BY lang""".stripMargin,
     "q_records_uniqueness" ->
       s"""SELECT repo, path, "commit",
@@ -1784,18 +1846,17 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin
     },
     "q_token_budget" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-        |     w -> w <> '')) AS BIGINT) AS n_tok,
-        |   substr(md5(CAST(doc_id AS VARCHAR) || ':tb7'), 1, 8) AS h
-        |  FROM documents),
+      s"""WITH d AS (SELECT b.doc_id, b.lang,
+        |   CAST(b.n_bpe AS BIGINT) AS n_tok,
+        |   substr(md5(CAST(b.doc_id AS VARCHAR) || ':tb7'), 1, 8) AS h
+        |  FROM read_parquet('${OracleDump.glob("bpe_ref")}') b),
         | c AS (SELECT doc_id, lang,
         |   coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM d)
         |SELECT doc_id, lang FROM c
-        | WHERE cum < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1500
-        |   ELSE 800 END
+        | WHERE cum < CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 3000
+        |   ELSE 1600 END
         | ORDER BY doc_id""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -47,13 +47,28 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword-regex token count: the GPT-2-style pretokenizer
-    * pattern family — contractions, letter runs, digit runs, punctuation
-    * runs, whitespace handled implicitly. */
-  def tokenCountBpe(text: Column): Column =
+  /** Pretokenizer-regex token count — the GPT-2-style pattern family
+    * (contractions, letter runs, digit runs, punctuation runs) WITHOUT
+    * merge application: a cheap oracle-SQL-expressible upper-bound
+    * approximation of [[tokenCountBpe]], kept for pipelines that only
+    * need a proportional signal. */
+  def tokenCountPretok(text: Column): Column =
     size(regexp_extract_all(text,
       lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"),
       lit(0)))
+
+  /** EXACT merges-based byte-level BPE token count (the vendored
+    * GPT-2-format table, [[graft.expressions.Bpe]]) — codegen'd, one
+    * static kernel call per row; the count every token-budget decision
+    * ([[Curation.tokenBudgetSample]]) is keyed to. Cross-checked against
+    * the independent [[graft.tools.BpeReference]] implementation in the
+    * q_token_bpe driver oracle. */
+  def tokenCountBpe(text: Column): Column =
+    graft.expressions.Bpe.bpeTokenCount(text)
+
+  /** BPE token-id array (base bytes 0..255, merge results 256+i). */
+  def bpeTokens(text: Column): Column =
+    graft.expressions.Bpe.bpeTokenIds(text)
 
   /** Quality signals + composite score in [0,1]:
     * length band, punctuation ratio, stopword ratio, mean word length,
@@ -241,6 +256,7 @@ object TextAnalysis {
         normalizedText(col(textCol)).as("norm")))).as("_t"))
       .withColumn("lang_pred", languageIdFromTokens(col("_t.toks")))
       .withColumn("n_tokens_ws", size(col("_t.toks")))
+      .withColumn("n_tokens_pretok", tokenCountPretok(col(textCol)))
       .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
       .withColumn("quality",
         qualitySignalsFromTokens(col(textCol), col("_t.toks")))

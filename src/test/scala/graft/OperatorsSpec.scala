@@ -281,10 +281,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "fr", "de", "es", "und"))
   }
 
-  test("token counting: whitespace and BPE-ish regex") {
+  test("token counting: whitespace and pretokenizer regex") {
     val r = Seq("Hello world, it's 2026!").toDF("text").select(
       TextAnalysis.tokenCountWs(col("text")),
-      TextAnalysis.tokenCountBpe(col("text"))).as[(Int, Int)].head()
+      TextAnalysis.tokenCountPretok(col("text"))).as[(Int, Int)].head()
     assert(r._1 == 4)
     // Hello | world | , | it | 's | 202 | 6 | !  (digit runs cap at 3,
     // cl100k-style)
