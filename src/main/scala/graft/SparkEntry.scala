@@ -122,15 +122,19 @@ object SparkEntry {
 
   /** The synthesized image corpus for q_image_neardup, dumped once per
     * JVM per sf dir: each doc carries a raster that is a pure function
-    * of doc_id % 100, but whose BYTES differ per doc (PNG compression
-    * level + scanline filter vary with doc_id; ~1/6 of docs are
-    * uncompressed BMP instead). Dumping separates the one-off encode
+    * of doc_id % 100, but whose BYTES differ per doc. Groups 0-79 are
+    * the lossless family (PNG compression level + scanline filter vary
+    * with doc_id; ~1/6 uncompressed BMP); groups 80-99 are baseline
+    * JPEG whose bytes vary via COM padding / restart intervals but whose
+    * DC-only construction decodes bit-exactly (see
+    * `graft.expressions.JpegOps`) — so the lossy web format rides the
+    * same seed-arithmetic oracle. Dumping separates the one-off encode
     * cost from the decode pipeline under measurement. */
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))) {
       t(s, dir, "documents").select(col("doc_id"),
-        graft.expressions.ImageOps.synthImage(
+        graft.expressions.ImageOps.synthMedia(
           pmod(col("doc_id"), lit(100L)),
           pmod(col("doc_id") * 7 + 3, lit(12L)).cast("int")).as("media"))
     }
@@ -386,12 +390,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // image near-dup over REAL decoded pixels: each doc carries an image
     // whose pixels are a pure function of doc_id % 100 but whose BYTES
-    // differ per doc — PNG compression level + scanline filter vary with
-    // doc_id, and ~1/6 of docs carry the raster as uncompressed BMP
-    // instead — decode + dHash + Hamming-pigeonhole must recover exactly
-    // the same-image pairs, which the DuckDB twin derives from the seed
-    // arithmetic alone. Proves end-to-end encoding- AND format-invariance
-    // of the decode->resize->hash pipeline, not just pair plumbing.
+    // differ per doc — groups 0-79: PNG compression level + scanline
+    // filter vary with doc_id, ~1/6 uncompressed BMP; groups 80-99:
+    // baseline JPEG (bytes vary via COM padding / restart intervals,
+    // decode bit-exact by DC-only construction, see JpegOps) — decode +
+    // dHash + Hamming-pigeonhole must recover exactly the same-image
+    // pairs, which the DuckDB twin derives from the seed arithmetic
+    // alone. Proves end-to-end encoding- AND format-invariance of the
+    // decode->resize->hash pipeline across all four formats, including
+    // the dominant lossy web format's Huffman+IDCT path.
     "q_image_neardup" -> ((s, dir) => {
       // media bytes are pre-dumped once per JVM (per sf dir, via
       // imageMediaTable) so the measured path is decode -> thumbnail ->

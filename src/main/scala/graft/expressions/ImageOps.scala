@@ -145,17 +145,32 @@ object ImageOps {
   }
 
   /** Format-agnostic raster decode: PNG ([[PngPixels]]) else
-    * uncompressed BMP ([[BmpPixels]]) else GIF ([[GifPixels]]) — all
-    * three emit the identical `(w, h, channels, pixels)` layout, so
-    * everything downstream is format-blind. (Each decoder rejects the
-    * other formats on the signature bytes, so the chain costs two
-    * byte compares per miss.) */
+    * uncompressed BMP ([[BmpPixels]]) else GIF ([[GifPixels]]) else
+    * baseline JPEG ([[JpegPixels]]) — all four emit the identical
+    * `(w, h, channels, pixels)` layout, so everything downstream is
+    * format-blind. (Each decoder rejects the other formats on the
+    * signature bytes, so the chain costs two byte compares per miss.) */
   def decodeRaster(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val png = PngPixels.pixels(b)
     if (png != null) return png
     val bmp = BmpPixels.pixels(b)
-    if (bmp != null) bmp else GifPixels.pixels(b)
+    if (bmp != null) return bmp
+    val gif = GifPixels.pixels(b)
+    if (gif != null) gif else JpegPixels.pixels(b)
   }
+
+  /** Deterministic media bytes across ALL FOUR formats: seeds 0-79 keep
+    * the [[synthImage]] lossless family (PNG levels/filters, BMP), seeds
+    * >= 80 are baseline JPEG ([[JpegOps.synthJpeg]]: bytes vary per
+    * variant via COM padding and restart intervals, decoded raster a
+    * pure function of the seed — exact despite the lossy format, see
+    * [[JpegOps]]). Lossy groups get their OWN rasters (a noise raster
+    * cannot survive JPEG bit-exactly), so group membership stays pure
+    * seed arithmetic: same seed => identical decoded raster => identical
+    * dHash, regardless of which container any member landed in. */
+  def synthMedia(seed: Long, variant: Int): Array[Byte] =
+    if (seed >= 80) JpegOps.synthJpeg(seed, variant)
+    else synthImage(seed, variant)
 
   /** Image bytes (PNG or BMP) -> `tw x th` grayscale thumbnail
     * (unsigned bytes, scanline-major), or null on any decode failure.
@@ -233,6 +248,10 @@ object ImageOps {
     import org.apache.spark.sql.graft.shims
     shims.column(SynthImage(shims.expression(seed), shims.expression(variant)))
   }
+  def synthMedia(seed: Column, variant: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(SynthMedia(shims.expression(seed), shims.expression(variant)))
+  }
   def grayThumbnail(media: Column, w: Int, h: Int): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(GrayResize(shims.expression(media), w, h))
@@ -288,6 +307,30 @@ case class SynthImage(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "synth_image"
+}
+
+/** (seed long, variant int) -> PNG/BMP (seeds < 80) or baseline JPEG
+  * (seeds >= 80) bytes of a seed-defined raster. Codegen'd; never null. */
+case class SynthMedia(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.DataTypeMismatch(
+      errorSubClass = "UNEXPECTED_INPUT_TYPE",
+      messageParameters = Map("paramIndex" -> "1",
+        "requiredType" -> "(\"BIGINT\", \"INT\")",
+        "inputSql" -> s"${left.sql}, ${right.sql}",
+        "inputType" -> s"(${left.dataType.sql}, ${right.dataType.sql})"))
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ImageOps.synthMedia(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    defineCodeGen(ctx, ev,
+      (s, v) => s"graft.expressions.ImageOps.synthMedia($s, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_media"
 }
 
 /** Image bytes (PNG/BMP) -> `w x h` grayscale thumbnail bytes (null on

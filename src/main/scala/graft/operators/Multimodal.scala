@@ -12,16 +12,18 @@ import org.apache.spark.sql.types._
   * CONTAINER metadata is decoded for real across all three modalities:
   * images ([[decodeImage]]: PNG/GIF/BMP fixed layouts + JPEG SOF walk),
   * audio ([[decodeWav]]: RIFF chunk walk) and video ([[decodeMp4]]:
-  * ISO-BMFF box walk). Sample/pixel DATA is decoded for real wherever
-  * the format needs no codec library: PNG pixels
-  * ([[decodePngPixels]]: JDK-zlib IDAT inflate + filter
-  * reconstruction), uncompressed-BMP pixels (`expressions.BmpPixels`),
-  * GIF pixels (`expressions.GifPixels`: real LZW + de-interlace) — all
-  * three feeding the same format-blind raster pipeline
-  * ([[featurizeImage]], dHash near-dup) — and WAV integer-PCM samples
-  * ([[audioFeatures]]: RIFF walk + per-frame peak/rms/silence).
-  * What remains a STUB (`decodeStub`/[[featurizeStub]]) is LOSSY-codec
-  * decode (JPEG pixels, compressed audio, video frames) — this
+  * ISO-BMFF box walk). Pixel DATA is decoded for real across EVERY
+  * image format: PNG ([[decodePngPixels]]: JDK-zlib IDAT inflate +
+  * filter reconstruction), uncompressed BMP (`expressions.BmpPixels`),
+  * GIF (`expressions.GifPixels`: real LZW + de-interlace) and baseline
+  * JPEG (`expressions.JpegPixels`: Huffman entropy decode +
+  * dequantize + IDCT + chroma upsample, ITU T.81) — all four feeding
+  * the same format-blind raster pipeline ([[featurizeImage]], dHash
+  * near-dup) — plus WAV integer-PCM samples ([[audioFeatures]]: RIFF
+  * walk + per-frame peak/rms/silence).
+  * What remains a STUB (`decodeStub`/[[featurizeStub]]) is COMPRESSED
+  * AUDIO and VIDEO-FRAME decode (and the progressive/arithmetic JPEG
+  * modes outside JpegPixels' declared subset) — this
   * container has no codec libraries — exercised through a deterministic
   * fake container embedded by [[attachFakeMedia]]. In production the stub
   * body is replaced by a real codec behind the same column signature

@@ -83,12 +83,14 @@ class FuzzSpec extends AnyFunSuite {
   }
 
   test("image hash/resize kernels never throw on arbitrary bytes and " +
-       "on mutations of the engine's own encoder output (PNG and BMP)") {
+       "on mutations of the engine's own encoder output (PNG, BMP, GIF " +
+       "and JPEG — entropy-coded data is the adversarial surface)") {
     val validPng = graft.expressions.ImageOps.synthPng(11L, 5)
     val validBmp = graft.expressions.ImageOps.synthImage(11L, 10)
     val validGif = graft.expressions.GifPixels.encodeGif(
       Array.tabulate(24 * 16)(i => ((i * 7) % 256).toByte)
         .flatMap(g => Array(g, g, g)), 24, 16)
+    val validJpg = graft.expressions.JpegOps.synthJpeg(91L, 3)
     def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       for {
         pos <- Gen.choose(0, valid.length - 1)
@@ -97,12 +99,14 @@ class FuzzSpec extends AnyFunSuite {
       Gen.choose(0, valid.length).map(valid.take))
     val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
       Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
-      mutations(validPng), mutations(validBmp), mutations(validGif))
+      mutations(validPng), mutations(validBmp), mutations(validGif),
+      mutations(validJpg))
     val prop = Prop.forAll(bytesGen) { b =>
       graft.expressions.ImageOps.dhash64(b) // Long or null -- no throw
       graft.expressions.ImageOps.grayResize(b, 4, 4)
       graft.expressions.BmpPixels.pixels(b)
       graft.expressions.GifPixels.pixels(b)
+      graft.expressions.JpegPixels.pixels(b)
       true
     }
     assert(ScTest.check(params, prop).passed)

@@ -239,6 +239,121 @@ class ImageSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("SynthJpeg emits valid baseline JPEG that decodes BIT-EXACTLY — " +
+       "by our decoder and by the JDK's independent ImageIO codec — " +
+       "across all byte variants (COM padding, restart intervals)") {
+    import graft.expressions.{JpegOps, JpegPixels}
+    for (seed <- Seq(80L, 85L, 93L, 99L)) {
+      val want = JpegOps.jpegRaster(seed)
+      val bytesPerVariant = (0 until 4).map(v => JpegOps.synthJpeg(seed, v))
+      // bytes genuinely differ per variant...
+      assert(bytesPerVariant.map(_.toSeq).distinct.size == 4, s"seed=$seed")
+      bytesPerVariant.zipWithIndex.foreach { case (bytes, v) =>
+        // ...our decoder reconstructs the exact raster (incl. through the
+        // RST-marker path for variants 2 and 3)...
+        val row = JpegPixels.pixels(bytes)
+        assert(row != null, s"seed=$seed v=$v")
+        assert(row.getInt(0) == JpegOps.W && row.getInt(1) == JpegOps.H &&
+          row.getInt(2) == 1)
+        assert(java.util.Arrays.equals(row.getBinary(3), want),
+          s"pixels differ: seed=$seed v=$v")
+        // ...and so does ImageIO: the file is real JPEG, not a dialect
+        // only our decoder accepts
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null && img.getWidth == JpegOps.W &&
+          img.getHeight == JpegOps.H, s"ImageIO rejected seed=$seed v=$v")
+        // raw raster samples, NOT getRGB: the gray color model applies a
+        // gray->sRGB gamma transform in getRGB
+        for (y <- 0 until JpegOps.H; x <- 0 until JpegOps.W)
+          assert(img.getRaster.getSample(x, y, 0) ==
+            (want(y * JpegOps.W + x) & 0xFF), s"ImageIO ($x,$y) v=$v")
+      }
+    }
+  }
+
+  test("JpegPixels decodes the JDK encoder's output: grayscale within " +
+       "IDCT tolerance, color (subsampled chroma) within upsampling " +
+       "tolerance, against ImageIO's own decode of the same bytes") {
+    import graft.expressions.JpegPixels
+    // grayscale, odd dims (exercises partial-MCU padding): smooth
+    // gradient so quantization error is the only difference source
+    val w = 37; val h = 23
+    val gimg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (x * 4 + y * 3 + 20) % 256)
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "jpg", gos))
+    val gbytes = gos.toByteArray
+    val ours = JpegPixels.pixels(gbytes)
+    assert(ours != null && ours.getInt(0) == w && ours.getInt(1) == h &&
+      ours.getInt(2) == 1)
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes))
+    var maxd = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((ours.getBinary(3)(y * w + x) & 0xFF) -
+        theirs.getRaster.getSample(x, y, 0)) // raw sample: getRGB gammas
+      maxd = math.max(maxd, d)
+    }
+    // both are conformant IDCTs of the same coefficients; T.83 allows
+    // small per-sample differences between implementations
+    assert(maxd <= 2, s"grayscale max IDCT disagreement $maxd")
+
+    // color: ImageIO's writer subsamples chroma; our box upsampling
+    // legitimately differs from its interpolating upsampler, so the
+    // bound is loose on chroma-heavy content — use a smooth gradient
+    val cimg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      cimg.setRGB(x, y, ((x * 3 + 40) << 16) | ((y * 5 + 60) << 8) |
+        ((x * 2 + y * 2 + 50) & 0xFF))
+    val cos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cimg, "jpg", cos2))
+    val cbytes = cos2.toByteArray
+    val cours = JpegPixels.pixels(cbytes)
+    assert(cours != null && cours.getInt(0) == w && cours.getInt(1) == h &&
+      cours.getInt(2) == 3)
+    val ctheirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cbytes))
+    var sum = 0L; var cmax = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ctheirs.getRGB(x, y)
+      val t = c match {
+        case 0 => (rgb >> 16) & 0xFF
+        case 1 => (rgb >> 8) & 0xFF
+        case _ => rgb & 0xFF
+      }
+      val d = math.abs((cours.getBinary(3)((y * w + x) * 3 + c) & 0xFF) - t)
+      sum += d; cmax = math.max(cmax, d)
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    assert(mean < 3.0, s"color mean disagreement $mean")
+    assert(cmax <= 32, s"color max disagreement $cmax (upsampler edge)")
+    // out-of-subset and malformed inputs: null, never a throw
+    assert(JpegPixels.pixels(Array[Byte](0xFF.toByte, 0xD8.toByte)) == null)
+    assert(JpegPixels.pixels(gbytes.take(60)) == null)
+    assert(JpegPixels.pixels("not a jpeg at all".getBytes) == null)
+  }
+
+  test("synthMedia: all 100 group signatures (80 lossless + 20 JPEG) " +
+       "are pairwise distinct, and every byte variant of a group " +
+       "hashes identically — the q_image_neardup invariant") {
+    val hashes = (0L until 100L).map { seed =>
+      val variants = (0 until 12).map(v =>
+        ImageOps.dhash64(ImageOps.synthMedia(seed, v)))
+      assert(variants.forall(_ != null), s"seed=$seed decode failed")
+      assert(variants.distinct.size == 1,
+        s"seed=$seed: byte variants hash differently")
+      variants.head.longValue()
+    }
+    // distinctness ACROSS groups: a collision would create cross-group
+    // pairs the seed-arithmetic DuckDB twin does not derive
+    assert(hashes.distinct.size == 100,
+      "dHash collision between groups — q_image_neardup oracle would break")
+  }
+
   test("the synthetic-PNG dHash signature evaluates identically " +
        "interpreted and codegen'd") {
     val df = spark.range(0, 64).select(
