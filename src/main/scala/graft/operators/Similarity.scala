@@ -69,10 +69,18 @@ object Similarity {
   def cell(vec: Column, bits: Int): Column =
     graft.expressions.VectorOps.signSketchCol(vec, bits)
 
-  /** IVF/LSH-bucketed ANN: probe the query's own cell plus its `nprobe-1`
-    * single-bit-flip neighbor cells (multi-probe LSH), exact cosine within
-    * probed cells only. Recall < 1 by design; [[bruteForceTopK]] is the
-    * oracle to measure it against. */
+  /** IVF/LSH-bucketed ANN with MARGIN-GUIDED multi-probe (the
+    * probing-sequence construction, Lv et al. 2007): the query probes
+    * its own cell plus the cells reached by flipping the hyperplanes
+    * whose projection sat closest to zero — ranked by summed flip
+    * margin, the cells a true neighbor most likely landed in — and
+    * exact cosine runs only inside probed cells. Recall < 1 by design;
+    * [[bruteForceTopK]] is the oracle to measure it against
+    * (`q_ann_recall`). On clustered embeddings (the realistic regime)
+    * recall@10 >= 0.9 at nprobe=4/bits=6 — pinned in OperatorsSpec; on
+    * ISOTROPIC vectors no bucketing scheme concentrates neighbors
+    * (curse of dimensionality — the measured curve on the synthetic
+    * testdata corpus is committed in BASELINE.md). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               bits: Int = 6, nprobe: Int = 4,
               vecCol: String = "embedding",
@@ -82,13 +90,8 @@ object Similarity {
       .withColumn("cell", cell(col("vec"), bits))
     val q0 = queries.select(col("query_id"), asDouble(col("qvec")).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
-      .withColumn("qcell", cell(col("qvec"), bits))
-    // multi-probe: own cell + single-bit flips (deterministic order)
-    val probes = array((0 until nprobe).map { i =>
-      if (i == 0) col("qcell")
-      else col("qcell").bitwiseXOR(shiftleft(lit(1L), i - 1))
-    }: _*)
-    val q = q0.withColumn("cell", explode(probes))
+    val q = q0.withColumn("cell", explode(
+      graft.expressions.VectorOps.multiProbeCellsCol(col("qvec"), bits, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine",
         dot(col("vec"), col("qvec")) / (col("vnorm") * col("qnorm")))

@@ -116,6 +116,18 @@ class DimsSpec extends SparkSpec {
       "atmospheric-composition/surface-based-observations/ozone", table))
     assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/" +
       "atmospheric-composition/surface-based-observations/unlisted", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/cryosphere/" +
+      "surface-based-observations/sea-ice", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/cryosphere/" +
+      "surface-based-observations/icebergs-unvendored", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/hydrology/" +
+      "surface-based-observations/water-level", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/hydrology/" +
+      "space-based-observations/unvendored", table))
+    assert(topicOkWith("origin/a/wis2/de-dwd/data/core/space-weather/" +
+      "surface-based-observations/ionosonde", table))
+    assert(!topicOkWith("origin/a/wis2/de-dwd/data/core/space-weather/" +
+      "surface-based-observations/coronagraph-unvendored", table))
     // a discipline absent from a LOADED table keeps the charset fallback
     val weatherOnly = Some(Dims.prefixClosure(Seq("weather/aviation/metar")))
     assert(topicOkWith("origin/a/wis2/de-dwd/data/core/ocean/" +
