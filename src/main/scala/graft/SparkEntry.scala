@@ -629,6 +629,28 @@ object SparkEntry {
           bround(col("f.silence_ratio"), 6).as("silence_ratio"))
         .orderBy("doc_id")),
 
+    // lossy/float codec coverage: per-doc WAVs cycling µ-law, A-law and
+    // IEEE-float32 (AudioOps.synthWavCodec). The engine must expand real
+    // G.711 log codes (ITU-T G.711 segment arithmetic) / parse IEEE bit
+    // patterns; the DuckDB twin recomputes the same features from the
+    // seed's closed forms — the expansion formulas themselves — so a
+    // single mis-expanded code class breaks the hash
+    "q_audio_codecs" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.expressions.AudioOps.audioFeatures(
+            graft.expressions.AudioOps.synthWavCodec(col("doc_id"))).as("f"))
+        .select(col("doc_id"),
+          col("f.n_frames").as("n_frames"),
+          col("f.duration_ms").as("duration_ms"),
+          // HALF_UP round, not bround: A-law magnitudes are dyadic
+          // (e.g. peak = 10496/2^15 = 0.3203125) so 6th-digit TIES are
+          // real, and DuckDB's ROUND is half-up while bround is
+          // half-even — the one rounding-mode seam in the whole oracle
+          round(col("f.peak"), 6).as("peak"),
+          round(col("f.rms"), 6).as("rms"),
+          round(col("f.silence_ratio"), 6).as("silence_ratio"))
+        .orderBy("doc_id")),
+
     // ---- corpus curation: deterministic sampling, caps, funnel ----------
     // stratified hash sample: per-lang keep rates decided by an md5-hex
     // threshold on the doc key — reproducible across engines/retries, so
@@ -1689,6 +1711,38 @@ object SparkEntry {
         |    AS rms,
         |  ROUND(s / CAST(n AS DOUBLE), 6) AS silence_ratio
         | FROM p ORDER BY doc_id""".stripMargin,
+    // codec closed forms (see AudioOps.synthWavCodec): fmt cycles
+    // µ-law / A-law / float32; for G.711 the active square wave is the
+    // direct 7-bit magnitude code m, so the oracle's "decode" IS the
+    // ITU-T G.711 expansion formula; A-law silence is the real codec
+    // silence byte (decodes to +8 — A-law has no zero), µ-law's to 0.
+    // All sums integer- or power-of-two-valued => IEEE-exact both sides
+    "q_audio_codecs" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS fmt,
+        |    400 + (doc_id % 5) * 100 AS n,
+        |    doc_id % 100 AS s,
+        |    CAST(doc_id % 128 AS INTEGER) AS m,
+        |    power(2.0, -(1 + doc_id % 6)) AS a
+        |  FROM documents),
+        | q AS (SELECT doc_id, fmt, n, s, a,
+        |    CASE WHEN fmt = 0 THEN
+        |           ((m % 16) * 8 + 132) * power(2.0, m // 16) - 132
+        |         WHEN m // 16 = 0 THEN (m % 16) * 16 + 8
+        |         WHEN m // 16 = 1 THEN (m % 16) * 16 + 264
+        |         ELSE ((m % 16) * 16 + 264) * power(2.0, m // 16 - 1)
+        |    END AS mag,
+        |    CASE WHEN fmt = 1 THEN 8.0 ELSE 0.0 END AS z
+        |  FROM p)
+        | SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  ROUND(CASE WHEN fmt = 2 THEN a ELSE mag / 32768.0 END, 6) AS peak,
+        |  ROUND(CASE WHEN fmt = 2
+        |        THEN sqrt((n - s) * a * a / CAST(n AS DOUBLE))
+        |        ELSE sqrt((s * z * z + (n - s) * mag * mag)
+        |               / CAST(n AS DOUBLE)) / 32768.0 END, 6) AS rms,
+        |  ROUND(CASE WHEN fmt < 2 AND mag < 327.68 THEN 1.0
+        |        ELSE s / CAST(n AS DOUBLE) END, 6) AS silence_ratio
+        | FROM q ORDER BY doc_id""".stripMargin,
     // same-image pairs from the seed arithmetic (doc_id % 100 defines the
     // image): the engine must reach the identical pair set through actual
     // PNG/BMP encode -> decode -> thumbnail -> dHash -> LSH bucketing,

@@ -29,9 +29,27 @@ import org.apache.spark.sql.types._
   *    strata).
   *
   * Kernels obey the untrusted-bytes contract (never throw, null on
-  * malformed/non-PCM/truncated-header input — FuzzSpec) and a
-  * decoded-size bomb cap. 8/16/24/32-bit integer PCM, any channel
-  * count; a truncated `data` payload is decoded to the frames actually
+  * malformed/undecodable/truncated-header input — FuzzSpec) and a
+  * decoded-size bomb cap. Decoded sample formats:
+  *
+  *  - integer PCM (wFormatTag=1): 8 (unsigned, 128-offset) / 16 / 24 /
+  *    32-bit signed LE, any channel count; full scale `2^(bits-1)`.
+  *  - IEEE-float PCM (wFormatTag=3): 32/64-bit LE, nominal full scale
+  *    1.0; non-finite samples (NaN/±Inf from untrusted bytes) are
+  *    treated as 0 so one poisoned frame cannot NaN the whole feature
+  *    row.
+  *  - G.711 A-law / µ-law (wFormatTag=6/7, ITU-T G.711, the classic
+  *    g711.c expansion): 8-bit log codes expanded to 16-bit linear
+  *    (A-law magnitudes ≤ 32256, µ-law ≤ 32124), full scale 32768 —
+  *    the FIRST genuinely lossy codec decoded for real; the remaining
+  *    stub surface is transform codecs (MP3/AAC/opus).
+  *  - WAVE_FORMAT_EXTENSIBLE (0xFFFE): unwrapped via the SubFormat
+  *    GUID (KSDATAFORMAT_SUBTYPE base) to any of the above; the
+  *    container bit depth is used as the sample depth (wValidBits
+  *    narrowing is out of scope — spec-mandated zero-padding of the
+  *    low container bits only scales, never reorders, features).
+  *
+  * A truncated `data` payload is decoded to the frames actually
   * present (same metadata-only tolerance as [[WavMeta]]).
   */
 object AudioOps {
@@ -84,6 +102,118 @@ object AudioOps {
     out
   }
 
+  /** G.711 µ-law code byte -> 16-bit linear sample (ITU-T G.711 /
+    * the canonical g711.c expansion): invert, then
+    * `((mant<<3)+0x84) << exp` biased back down. Range ±32124. */
+  def ulawToLinear(code: Int): Int = {
+    val u = (~code) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law code byte -> 16-bit linear sample (ITU-T G.711):
+    * xor 0x55, segment-wise expansion. Range ±32256; note A-law has
+    * no exact zero — the quietest codes decode to ±8. */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Shared RIFF/fmt/data framing for the non-integer-PCM encoders:
+    * `fmtCode` + raw `data` payload bytes, 16-byte fmt body. */
+  private def encodeWavRaw(data: Array[Byte], fmtCode: Int,
+                           channels: Int, rate: Int,
+                           bits: Int): Array[Byte] = {
+    require(channels > 0 && rate > 0, "channels/rate must be positive")
+    val bytesPer = bits / 8
+    val blockAlign = channels * bytesPer
+    val out = new Array[Byte](44 + data.length)
+    def tag(i: Int, s: String): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, fmtCode)
+    le16(22, channels); le32(24, rate)
+    le32(28, rate * blockAlign); le16(32, blockAlign); le16(34, bits)
+    tag(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** IEEE-float-PCM WAV encoder (wFormatTag=3, 32-bit LE). */
+  def encodeWavFloat(samples: Array[Float], channels: Int,
+                     rate: Int): Array[Byte] = {
+    require(samples.length % channels == 0, "partial final frame")
+    val data = new Array[Byte](samples.length * 4)
+    var i = 0
+    while (i < samples.length) {
+      val v = java.lang.Float.floatToIntBits(samples(i))
+      data(i * 4) = v.toByte; data(i * 4 + 1) = (v >>> 8).toByte
+      data(i * 4 + 2) = (v >>> 16).toByte; data(i * 4 + 3) = (v >>> 24).toByte
+      i += 1
+    }
+    encodeWavRaw(data, 3, channels, rate, 32)
+  }
+
+  /** G.711 WAV encoder (wFormatTag=7 µ-law / 6 A-law): the `codes`
+    * ARE the data payload (one log-companded byte per sample). */
+  def encodeWavG711(codes: Array[Byte], ulaw: Boolean, channels: Int,
+                    rate: Int): Array[Byte] = {
+    require(codes.length % channels == 0, "partial final frame")
+    encodeWavRaw(codes, if (ulaw) 7 else 6, channels, rate, 8)
+  }
+
+  /** The base KSDATAFORMAT_SUBTYPE GUID tail (bytes 2..16): the
+    * SubFormat of WAVE_FORMAT_EXTENSIBLE is `<u16le fmtCode>` + this. */
+  val ExtensibleGuidTail: Array[Byte] = Array[Byte](
+    0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0,
+    0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71)
+
+  /** Re-frame an [[encodeWav]]-family WAV as WAVE_FORMAT_EXTENSIBLE
+    * (0xFFFE, 40-byte fmt body, SubFormat GUID carrying the original
+    * code) — for asserting the unwrap path decodes identically. */
+  def wrapExtensible(wav: Array[Byte]): Array[Byte] = {
+    val fmtCode = (wav(20) & 0xFF) | ((wav(21) & 0xFF) << 8)
+    val bits = (wav(34) & 0xFF) | ((wav(35) & 0xFF) << 8)
+    val out = new Array[Byte](wav.length + 24)
+    System.arraycopy(wav, 0, out, 0, 36) // up to end of 16-byte fmt body
+    // grow RIFF size + fmt size, swap tag to extensible
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    val riffSize = ((wav(4) & 0xFF) | ((wav(5) & 0xFF) << 8) |
+      ((wav(6) & 0xFF) << 16) | ((wav(7) & 0xFF) << 24)) + 24
+    le32(4, riffSize)
+    le32(16, 40)
+    le16(20, 0xFFFE)
+    le16(36, 22) // cbSize
+    le16(38, bits) // wValidBitsPerSample = container depth
+    le32(40, 0) // dwChannelMask: unpositioned
+    le16(44, fmtCode)
+    System.arraycopy(ExtensibleGuidTail, 0, out, 46,
+      ExtensibleGuidTail.length)
+    System.arraycopy(wav, 36, out, 60, wav.length - 36)
+    out
+  }
+
   /** Deterministic test-signal WAV from `seed`: 16-bit mono 8000 Hz;
     * `s = seed mod 100` silent frames then `n - s` frames of a
     * period-8 square wave at amplitude `A = 32767` (exactly full scale)
@@ -116,10 +246,19 @@ object AudioOps {
     StructField("silence_ratio", DoubleType, nullable = false)))
 
   /** WAV bytes -> feature row, or null when the payload is not a
-    * decodable integer-PCM WAV (bad RIFF frame, no/ non-PCM `fmt `,
-    * no `data`, unsupported depth). A `data` chunk whose declared size
-    * exceeds the bytes present (or [[MaxPcm]]) is decoded to the whole
-    * frames actually available. */
+    * decodable WAV (bad RIFF frame, no `fmt `, unsupported format/depth
+    * combination, no `data`). Supported: integer PCM 8/16/24/32, IEEE
+    * float 32/64, G.711 A-law/µ-law, each plainly tagged or wrapped in
+    * WAVE_FORMAT_EXTENSIBLE. A `data` chunk whose declared size exceeds
+    * the bytes present (or [[MaxPcm]]) is decoded to the whole frames
+    * actually available.
+    *
+    * The integer-PCM arithmetic is EXACT end to end (every per-sample
+    * square and partial sum an integer below 2^53), which is what lets
+    * the `q_audio_features` DuckDB oracle demand bit-identical rms;
+    * the G.711 expansions land on the same exact-integer path, and the
+    * float path keeps closed-form exactness whenever samples are
+    * powers of two (see [[synthWavCodec]]). */
   def features(b: Array[Byte]): InternalRow = {
     val n = b.length
     def u8(i: Int): Int = b(i) & 0xFF
@@ -134,6 +273,7 @@ object AudioOps {
     if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
 
     var fmtOk = false
+    var fmtCode = 0
     var channels = 0; var rate = 0L; var bits = 0
     var dataAt = -1; var dataLen = 0L
     var i = 12
@@ -142,12 +282,29 @@ object AudioOps {
       guard += 1
       val size = leU32(i + 4)
       if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= n) {
-        val audioFormat = leU16(i + 8)
+        var audioFormat = leU16(i + 8)
         channels = leU16(i + 10)
         rate = leU32(i + 12)
         bits = leU16(i + 22)
-        fmtOk = audioFormat == 1 && channels > 0 && rate > 0 &&
-          (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+        if (audioFormat == 0xFFFE && size >= 40 && i + 8 + 40 <= n) {
+          // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat
+          // GUID's first u16le, valid only over the KSDATAFORMAT base
+          val sub = i + 32 // fmt body offset 24
+          var baseOk = true
+          var k = 0
+          while (k < ExtensibleGuidTail.length) {
+            if (b(sub + 2 + k) != ExtensibleGuidTail(k)) baseOk = false
+            k += 1
+          }
+          audioFormat = if (baseOk) leU16(sub) else -1
+        }
+        fmtCode = audioFormat
+        fmtOk = channels > 0 && rate > 0 && (fmtCode match {
+          case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32
+          case 3 => bits == 32 || bits == 64
+          case 6 | 7 => bits == 8
+          case _ => false
+        })
       } else if (tag(i, "data") && dataAt < 0) {
         dataAt = i + 8
         dataLen = size
@@ -162,9 +319,13 @@ object AudioOps {
     val avail = math.min(math.min(dataLen, (n - dataAt).toLong),
       MaxPcm.toLong)
     val frames = avail / blockAlign
-    val fullScale = 1L << (bits - 1)
-    val silenceAbs = fullScale * SilenceFrac
-    var peakAbs = 0L
+    val scale: Double = fmtCode match {
+      case 1 => (1L << (bits - 1)).toDouble
+      case 3 => 1.0
+      case _ => 32768.0 // G.711 expands onto the 16-bit linear scale
+    }
+    val silenceAbs = scale * SilenceFrac
+    var peakAbs = 0.0
     var sumSq = 0.0
     var silentFrames = 0L
     var f = 0L
@@ -173,23 +334,42 @@ object AudioOps {
       var c = 0
       while (c < channels) {
         val at = dataAt + (f * blockAlign).toInt + c * bytesPer
-        var v = 0L
-        var k = 0
-        while (k < bytesPer) { v |= u8(at + k).toLong << (8 * k); k += 1 }
-        // sign-extend (8-bit PCM is unsigned with a 128 offset)
-        val x =
-          if (bits == 8) v - 128
-          else (v << (64 - bits)) >> (64 - bits)
+        val x: Double = fmtCode match {
+          case 1 =>
+            var v = 0L
+            var k = 0
+            while (k < bytesPer) {
+              v |= u8(at + k).toLong << (8 * k); k += 1
+            }
+            // sign-extend (8-bit PCM is unsigned with a 128 offset)
+            (if (bits == 8) v - 128
+             else (v << (64 - bits)) >> (64 - bits)).toDouble
+          case 3 =>
+            val raw =
+              if (bits == 32)
+                java.lang.Float.intBitsToFloat(
+                  u8(at) | (u8(at + 1) << 8) | (u8(at + 2) << 16) |
+                    (u8(at + 3) << 24)).toDouble
+              else {
+                var v = 0L
+                var k = 0
+                while (k < 8) { v |= u8(at + k).toLong << (8 * k); k += 1 }
+                java.lang.Double.longBitsToDouble(v)
+              }
+            // untrusted bytes: one NaN/Inf must not NaN the whole row
+            if (java.lang.Double.isFinite(raw)) raw else 0.0
+          case 6 => alawToLinear(u8(at)).toDouble
+          case _ => ulawToLinear(u8(at)).toDouble
+        }
         val ax = math.abs(x)
         if (ax > peakAbs) peakAbs = ax
         if (ax >= silenceAbs) frameSilent = false
-        sumSq += x.toDouble * x.toDouble
+        sumSq += x * x
         c += 1
       }
       if (frameSilent) silentFrames += 1
       f += 1
     }
-    val scale = fullScale.toDouble
     new GenericInternalRow(Array[Any](
       java.lang.Long.valueOf(frames),
       java.lang.Long.valueOf(frames * 1000L / rate),
@@ -201,9 +381,71 @@ object AudioOps {
         if (frames == 0) 0.0 else silentFrames.toDouble / frames)))
   }
 
+  /** Deterministic codec-coverage WAV from `seed`: mono 8000 Hz, the
+    * same n/s frame grammar as [[synthWav]] (`n = 400 + (seed mod 5) *
+    * 100` frames, `s = seed mod 100` silent prefix), but the sample
+    * format cycles `seed mod 3`: 0 -> µ-law, 1 -> A-law, 2 -> float32.
+    *
+    * Closed forms the DuckDB oracle recomputes from the seed alone
+    * (all sums exact in IEEE doubles — integer-valued for G.711,
+    * power-of-two-valued for float):
+    *
+    *  - G.711: the active square wave is written as a DIRECT 7-bit
+    *    magnitude code `m = seed mod 128` with alternating sign, so the
+    *    decoded magnitude is the expansion formula itself:
+    *    µ-law `M = ((m mod 16)*8 + 132) * 2^(m div 16) - 132`,
+    *    A-law `M = (m mod 16)*16 + 8` (seg 0), `+264` (seg 1),
+    *    `((m mod 16)*16 + 264) * 2^(seg-1)` above. Silence bytes are
+    *    the real codec silence: µ-law 0xFF (decodes to exact 0), A-law
+    *    0xD5 (decodes to +8 — A-law has no zero, so silent frames
+    *    contribute 64 per frame to the sum of squares and the whole
+    *    file reads fully "silent" whenever M < 327.68 = 1% of full
+    *    scale). peak = M/32768 (M >= 8 >= A-law silence), rms =
+    *    sqrt((s*z^2 + (n-s)*M^2)/n)/32768 with z = 0 (µ) / 8 (A),
+    *    silence_ratio = s/n when M >= 327.68 else 1.
+    *  - float32: amplitude `A = 2^-(1 + seed mod 6)` (all >= 2^-6 =
+    *    0.015625 > the 1% threshold, all exactly representable);
+    *    peak = A, rms = sqrt((n-s)*A^2/n), silence_ratio = s/n. */
+  def synthWavCodec(seed: Long): Array[Byte] = {
+    def m(k: Long): Int = java.lang.Math.floorMod(seed, k).toInt
+    val fmt = m(3)
+    val n = 400 + m(5) * 100
+    val s = m(100)
+    if (fmt == 2) {
+      val a = java.lang.Math.pow(2.0, -(1 + m(6))).toFloat
+      val samples = new Array[Float](n)
+      var i = s
+      while (i < n) {
+        samples(i) = if (((i - s) / 4) % 2 == 0) a else -a
+        i += 1
+      }
+      encodeWavFloat(samples, 1, 8000)
+    } else {
+      val mm = m(128)
+      val ulaw = fmt == 0
+      val posB =
+        if (ulaw) ((~mm) & 0xFF).toByte else (((0x80 | mm) ^ 0x55)).toByte
+      val negB =
+        if (ulaw) ((~mm) & 0x7F).toByte else (mm ^ 0x55).toByte
+      val silB = if (ulaw) 0xFF.toByte else 0xD5.toByte
+      val codes = new Array[Byte](n)
+      java.util.Arrays.fill(codes, 0, s, silB)
+      var i = s
+      while (i < n) {
+        codes(i) = if (((i - s) / 4) % 2 == 0) posB else negB
+        i += 1
+      }
+      encodeWavG711(codes, ulaw, 1, 8000)
+    }
+  }
+
   def synthWav(seed: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(SynthWav(shims.expression(seed)))
+  }
+  def synthWavCodec(seed: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(SynthWavCodec(shims.expression(seed)))
   }
   def audioFeatures(media: Column): Column = {
     import org.apache.spark.sql.graft.shims
@@ -229,6 +471,26 @@ case class SynthWav(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "synth_wav"
+}
+
+/** seed long -> codec-coverage WAV bytes (codegen'd; never null). */
+case class SynthWavCodec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.DataTypeMismatch(
+      errorSubClass = "UNEXPECTED_INPUT_TYPE",
+      messageParameters = Map("paramIndex" -> "1",
+        "requiredType" -> "\"BIGINT\"",
+        "inputSql" -> child.sql, "inputType" -> child.dataType.sql))
+  override def nullSafeEval(seed: Any): Any =
+    AudioOps.synthWavCodec(seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expressions.AudioOps.synthWavCodec($s)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "synth_wav_codec"
 }
 
 /** WAV bytes -> PCM feature struct (null on non-PCM/undecodable). */

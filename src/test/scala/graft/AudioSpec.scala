@@ -71,15 +71,141 @@ class AudioSpec extends SparkSpec {
     assert(feat("not audio".getBytes) == null)
     assert(feat(Array[Byte]()) == null)
     val wav = AudioOps.encodeWav(Array(100, -100, 100, -100), 1, 8000, 16)
-    // flip the fmt audioFormat to 3 (IEEE float): declared non-PCM
+    // flip the fmt audioFormat to 3 (IEEE float): float requires a
+    // 32/64-bit depth, so float-at-16-bit is an invalid combination
     val nonPcm = wav.clone(); nonPcm(20) = 3
     assert(feat(nonPcm) == null)
+    // G.711 requires 8-bit codes: µ-law-at-16-bit is likewise invalid
+    val badG711 = wav.clone(); badG711(20) = 7
+    assert(feat(badG711) == null)
     // chop the data payload mid-frame: decodes the whole frames present
     val truncated = feat(wav.take(44 + 5))
     assert(truncated != null && truncated.getLong(0) == 2)
     // declared data size beyond the buffer: same tolerance
     val overdeclared = wav.clone(); overdeclared(40) = 0x7F.toByte
     assert(feat(overdeclared).getLong(0) == 4)
+  }
+
+  test("G.711 expansions match the JDK's independent µ-law/A-law codecs " +
+       "code-for-code (javax.sound conversion to 16-bit linear)") {
+    import javax.sound.sampled._
+    for (ulaw <- Seq(true, false)) {
+      val codes = Array.tabulate(256)(i => i.toByte)
+      val wav = AudioOps.encodeWavG711(codes, ulaw, 1, 8000)
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val want = if (ulaw) AudioFormat.Encoding.ULAW
+                 else AudioFormat.Encoding.ALAW
+      assert(in.getFormat.getEncoding == want)
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+          2, 8000f, false), in)
+      val raw = pcm.readAllBytes()
+      assert(raw.length == 512)
+      for (i <- 0 until 256) {
+        val jdk = ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1) << 8)).toShort.toInt
+        val ours = if (ulaw) AudioOps.ulawToLinear(i)
+                   else AudioOps.alawToLinear(i)
+        assert(jdk == ours, s"ulaw=$ulaw code=$i jdk=$jdk ours=$ours")
+      }
+    }
+  }
+
+  test("float-PCM WAVs decode with full scale 1.0; non-finite samples " +
+       "are zeroed, not propagated") {
+    // 4 frames: 0, +0.5, -0.5, 0 -> the same features as the integer
+    // half-scale fixture
+    val f = feat(AudioOps.encodeWavFloat(
+      Array(0f, 0.5f, -0.5f, 0f), 1, 8000))
+    assert(f != null && f.getLong(0) == 4)
+    assert(f.getDouble(2) == 0.5)
+    assert(math.abs(f.getDouble(3) - math.sqrt(0.125)) < 1e-15)
+    assert(f.getDouble(4) == 0.5)
+    // NaN / Inf frames read as 0 (and therefore silent)
+    val g = feat(AudioOps.encodeWavFloat(
+      Array(Float.NaN, Float.PositiveInfinity, 0.25f, -0.25f), 1, 8000))
+    assert(g.getDouble(2) == 0.25 && g.getDouble(4) == 0.5)
+    assert(!g.getDouble(3).isNaN)
+    // float64 path: same samples at double width
+    val wav64 = {
+      val vals = Array(0.0, 0.5, -0.5, 0.0)
+      val data = new Array[Byte](vals.length * 8)
+      for (i <- vals.indices) {
+        val bits = java.lang.Double.doubleToLongBits(vals(i))
+        for (k <- 0 until 8) data(i * 8 + k) = (bits >>> (8 * k)).toByte
+      }
+      // reuse the float framing with bits=64 via the raw header shape
+      val f32 = AudioOps.encodeWavFloat(Array(0f, 0f, 0f, 0f), 1, 8000)
+      val out = new Array[Byte](44 + data.length)
+      System.arraycopy(f32, 0, out, 0, 44)
+      out(34) = 64 // bits
+      out(32) = 8 // block align
+      out(40) = data.length.toByte // data size (small)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+    val h = feat(wav64)
+    assert(h != null && h.getLong(0) == 4 && h.getDouble(2) == 0.5)
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE unwraps to identical features for every " +
+       "inner format; a foreign SubFormat GUID is rejected") {
+    val plainInt = AudioOps.encodeWav(Array(0, 8192, -8192, 0), 1, 8000, 16)
+    val plainFloat = AudioOps.encodeWavFloat(
+      Array(0f, 0.25f, -0.25f, 0f), 1, 8000)
+    val plainUlaw = AudioOps.encodeWavG711(
+      Array.tabulate(8)(i => (i * 37).toByte), ulaw = true, 1, 8000)
+    for (plain <- Seq(plainInt, plainFloat, plainUlaw)) {
+      val a = feat(plain)
+      val b = feat(AudioOps.wrapExtensible(plain))
+      assert(a != null && b != null)
+      assert(a.getLong(0) == b.getLong(0) && a.getDouble(2) == b.getDouble(2)
+        && a.getDouble(3) == b.getDouble(3)
+        && a.getDouble(4) == b.getDouble(4))
+    }
+    // corrupt the GUID tail: must be rejected, not misread as PCM
+    val wrapped = AudioOps.wrapExtensible(plainInt)
+    wrapped(50) = 0x42
+    assert(feat(wrapped) == null)
+    // the JDK reads our extensible framing too (independent oracle)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(AudioOps.wrapExtensible(plainInt)))
+    assert(in.getFormat.getSampleSizeInBits == 16 &&
+      in.getFormat.getChannels == 1)
+  }
+
+  test("features matches the synthWavCodec closed forms for every seed " +
+       "class (µ-law, A-law, float32)") {
+    for (seed <- 0L until 210L) {
+      def md(k: Long): Long = java.lang.Math.floorMod(seed, k)
+      val fmt = md(3); val n = 400 + md(5) * 100; val s = md(100)
+      val f = feat(AudioOps.synthWavCodec(seed))
+      assert(f != null, s"seed=$seed")
+      assert(f.getLong(0) == n && f.getLong(1) == n * 1000 / 8000)
+      if (fmt == 2) {
+        val a = math.pow(2.0, -(1 + md(6)).toDouble)
+        assert(f.getDouble(2) == a, s"float peak seed=$seed")
+        assert(f.getDouble(3) == math.sqrt((n - s) * a * a / n.toDouble),
+          s"float rms seed=$seed")
+        assert(f.getDouble(4) == s.toDouble / n, s"float silence seed=$seed")
+      } else {
+        val m = md(128).toInt
+        val big = (m % 16).toDouble
+        val mag: Double =
+          if (fmt == 0) ((m % 16) * 8 + 132) * (1 << (m / 16)) - 132
+          else if (m / 16 == 0) big * 16 + 8
+          else if (m / 16 == 1) big * 16 + 264
+          else (big * 16 + 264) * (1 << (m / 16 - 1))
+        val z = if (fmt == 0) 0.0 else 8.0
+        assert(f.getDouble(2) == mag / 32768.0, s"g711 peak seed=$seed")
+        assert(f.getDouble(3) ==
+          math.sqrt((s * z * z + (n - s) * mag * mag) / n.toDouble) / 32768.0,
+          s"g711 rms seed=$seed (bit-identical)")
+        val expSilence =
+          if (mag < 32768 * AudioOps.SilenceFrac) 1.0 else s.toDouble / n
+        assert(f.getDouble(4) == expSilence, s"g711 silence seed=$seed")
+      }
+    }
   }
 
   test("the audioFeatures expression evaluates identically interpreted " +

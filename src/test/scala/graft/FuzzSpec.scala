@@ -44,17 +44,36 @@ class FuzzSpec extends AnyFunSuite {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     val valid = baos.toByteArray
+    // an Adam7-interlaced PALETTE PNG: mutations hit the PLTE walk, the
+    // per-pass geometry and the sub-byte index unpack too
+    val pimg = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 4; x <- 0 until 5) pimg.setRGB(x, y, x * 53 + y * 29)
+    val ilaced = {
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(pimg, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
 
-    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
-      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
-      // single-byte mutations of the valid PNG (corrupt IHDR fields,
-      // IDAT stream, lengths, CRCs)
+    def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
+      // single-byte mutations (corrupt IHDR fields, PLTE, IDAT stream,
+      // lengths, CRCs)
       for {
         pos <- Gen.choose(0, valid.length - 1)
         b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
       } yield { val c = valid.clone(); c(pos) = b; c },
       // truncations
       Gen.choose(0, valid.length).map(valid.take))
+    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      mutations(valid), mutations(ilaced))
     val prop = Prop.forAll(bytesGen) { b =>
       graft.expressions.PngPixels.pixels(b) // null or a row — no throw
       true
@@ -114,14 +133,25 @@ class FuzzSpec extends AnyFunSuite {
 
   test("audio PCM feature kernel never throws on arbitrary bytes and " +
        "on mutations of the engine's own encoder output") {
-    val valid = graft.expressions.AudioOps.synthWav(17L)
-    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
-      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+    // every sample-format family: integer PCM, µ-law (seed 18 % 3 = 0),
+    // A-law (19), float32 (20), plus the extensible wrapper framing
+    val valids = Seq(
+      graft.expressions.AudioOps.synthWav(17L),
+      graft.expressions.AudioOps.synthWavCodec(18L),
+      graft.expressions.AudioOps.synthWavCodec(19L),
+      graft.expressions.AudioOps.synthWavCodec(20L),
+      graft.expressions.AudioOps.wrapExtensible(
+        graft.expressions.AudioOps.synthWavCodec(20L)))
+    def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       for {
         pos <- Gen.choose(0, valid.length - 1)
         b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
       } yield { val c = valid.clone(); c(pos) = b; c },
       Gen.choose(0, valid.length).map(valid.take))
+    val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      mutations(valids(0)), mutations(valids(1)), mutations(valids(2)),
+      mutations(valids(3)), mutations(valids(4)))
     val prop = Prop.forAll(bytesGen) { b =>
       graft.expressions.AudioOps.features(b) // row or null -- no throw
       true
