@@ -19,11 +19,12 @@ import org.apache.spark.sql.types._
   * JPEG (`expressions.JpegPixels`: Huffman entropy decode +
   * dequantize + IDCT + chroma upsample, ITU T.81) — all four feeding
   * the same format-blind raster pipeline ([[featurizeImage]], dHash
-  * near-dup) — plus WAV integer-PCM samples ([[audioFeatures]]: RIFF
-  * walk + per-frame peak/rms/silence).
-  * What remains a STUB (`decodeStub`/[[featurizeStub]]) is COMPRESSED
-  * AUDIO and VIDEO-FRAME decode (and the progressive/arithmetic JPEG
-  * modes outside JpegPixels' declared subset) — this
+  * near-dup) — plus WAV samples ([[audioFeatures]]: RIFF walk +
+  * per-frame peak/rms/silence over integer PCM 8/16/24/32, IEEE-float
+  * 32/64, G.711 A-law/µ-law, plain or WAVE_FORMAT_EXTENSIBLE framing).
+  * What remains a STUB (`decodeStub`/[[featurizeStub]]) is TRANSFORM
+  * AUDIO codecs (MP3/AAC/opus) and VIDEO-FRAME decode (and the
+  * progressive/arithmetic JPEG modes outside JpegPixels' subset) — this
   * container has no codec libraries — exercised through a deterministic
   * fake container embedded by [[attachFakeMedia]]. In production the stub
   * body is replaced by a real codec behind the same column signature

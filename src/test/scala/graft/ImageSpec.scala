@@ -103,6 +103,150 @@ class ImageSpec extends SparkSpec {
     assert(ImageOps.dhash64(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("extended static-PNG matrix — palette, Adam7 interlace, 16-bit, " +
+       "1-bit — decodes against ImageIO's independently-written streams") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    def writePng(img: BufferedImage, progressive: Boolean): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def rgbAt(row: org.apache.spark.sql.catalyst.InternalRow,
+              x: Int, y: Int): (Int, Int, Int) = {
+      val w = row.getInt(0); val ch = row.getInt(2)
+      val px = row.getBinary(3); val i = (y * w + x) * ch
+      ch match {
+        case 1 => val g = px(i) & 0xFF; (g, g, g)
+        case 2 => val g = px(i) & 0xFF; (g, g, g) // gray+alpha: luma only
+        case _ => (px(i) & 0xFF, px(i + 1) & 0xFF, px(i + 2) & 0xFF)
+      }
+    }
+
+    // palette (TYPE_BYTE_INDEXED): PLTE-resolved RGB, pixel-for-pixel
+    val w = 23; val h = 17 // odd dims also exercise ragged Adam7 passes
+    val src = raster(w, h, 37)
+    val pal = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      pal.setRGB(x, y, ((src(i) & 0xFF) << 16) |
+        ((src(i + 1) & 0xFF) << 8) | (src(i + 2) & 0xFF))
+    }
+    for (progressive <- Seq(false, true)) {
+      val bytes = writePng(pal, progressive)
+      assert((bytes(28) & 0xFF) == (if (progressive) 1 else 0),
+        s"IHDR interlace flag progressive=$progressive") // really Adam7
+      val row = PngPixels.pixels(bytes)
+      assert(row != null && row.getInt(0) == w && row.getInt(1) == h &&
+        row.getInt(2) == 3, s"palette progressive=$progressive")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = pal.getRGB(x, y) // the color ImageIO quantized to
+        assert(rgbAt(row, x, y) ==
+          (((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)),
+          s"palette pixel ($x,$y) progressive=$progressive")
+      }
+    }
+
+    // truecolor Adam7: interlaced bytes differ, decoded raster identical
+    val tru = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      tru.setRGB(x, y, ((src(i) & 0xFF) << 16) |
+        ((src(i + 1) & 0xFF) << 8) | (src(i + 2) & 0xFF))
+    }
+    val plain = writePng(tru, progressive = false)
+    val adam7 = writePng(tru, progressive = true)
+    assert((adam7(28) & 0xFF) == 1 &&
+      !java.util.Arrays.equals(plain, adam7))
+    val pr = PngPixels.pixels(plain); val ar = PngPixels.pixels(adam7)
+    assert(pr != null && ar != null && pr.getInt(2) == 3)
+    assert(java.util.Arrays.equals(pr.getBinary(3), ar.getBinary(3)),
+      "Adam7 de-interlace must reproduce the sequential raster")
+    assert(java.util.Arrays.equals(pr.getBinary(3), src))
+    // the near-dup signature is interlace-invariant end to end
+    assert(ImageOps.dhash64(plain) == ImageOps.dhash64(adam7))
+
+    // 16-bit gray (TYPE_USHORT_GRAY): our byte = raster sample's high byte
+    val g16 = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, ((x * 2711 + y * 733) * 97) & 0xFFFF)
+    val r16 = PngPixels.pixels(writePng(g16, progressive = false))
+    assert(r16 != null && r16.getInt(2) == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((r16.getBinary(3)((y * w + x)) & 0xFF) ==
+        (g16.getRaster.getSample(x, y, 0) >> 8), s"16-bit ($x,$y)")
+
+    // 1-bit (TYPE_BYTE_BINARY): sub-byte unpack + 255/(2^d-1) scaling
+    // (ImageIO may emit it as gray or palette — both paths must agree)
+    val bw = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bw.setRGB(x, y, if ((x + y) % 3 == 0) 0xFFFFFF else 0)
+    val rbw = PngPixels.pixels(writePng(bw, progressive = false))
+    assert(rbw != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if ((x + y) % 3 == 0) 255 else 0
+      assert(rgbAt(rbw, x, y) == ((want, want, want)), s"1-bit ($x,$y)")
+    }
+
+    // hand-built 16-bit RGB with Sub filtering (no BufferedImage type
+    // reaches this combo): depth=16 defilter must stride bpp=6 bytes
+    val scan = new java.io.ByteArrayOutputStream()
+    val w2 = 5; val h2 = 3
+    val samples = Array.tabulate(w2 * h2 * 3)(i => (i * 4099) & 0xFFFF)
+    for (y <- 0 until h2) {
+      scan.write(1) // Sub filter on every line
+      var prev = new Array[Int](6)
+      for (x <- 0 until w2) {
+        val cur = new Array[Int](6)
+        for (c <- 0 until 3) {
+          val v = samples((y * w2 + x) * 3 + c)
+          cur(c * 2) = (v >> 8) & 0xFF; cur(c * 2 + 1) = v & 0xFF
+        }
+        for (k <- 0 until 6) scan.write((cur(k) - prev(k)) & 0xFF)
+        prev = cur
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scan.toByteArray); defl.finish()
+    val comp = new Array[Byte](scan.size() + 64)
+    val clen = defl.deflate(comp); defl.end()
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      png.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      png.write(tb); png.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      val cv = crc.getValue
+      png.write(Array((cv >>> 24).toByte, (cv >>> 16).toByte,
+        (cv >>> 8).toByte, cv.toByte))
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, w2.toByte, 0, 0, 0, h2.toByte,
+      16, 2, 0, 0, 0))
+    chunk("IDAT", comp.take(clen))
+    chunk("IEND", Array.empty[Byte])
+    val r16rgb = PngPixels.pixels(png.toByteArray)
+    assert(r16rgb != null && r16rgb.getInt(2) == 3)
+    for (i <- samples.indices)
+      assert((r16rgb.getBinary(3)(i) & 0xFF) == (samples(i) >> 8),
+        s"16-bit RGB sample $i")
+    // ImageIO agrees the hand-built stream is real PNG
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(png.toByteArray))
+    assert(jdk != null && jdk.getWidth == w2 && jdk.getHeight == h2)
+  }
+
   test("BMP pixel decode matches the PNG decode of the same raster " +
        "bit-for-bit (cross-format invariance), including palette, " +
        "top-down, 32bpp and row-padding variants") {
