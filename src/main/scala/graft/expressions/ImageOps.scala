@@ -161,10 +161,11 @@ object ImageOps {
 
   /** Deterministic media bytes across ALL FOUR formats: seeds 0-79 keep
     * the [[synthImage]] lossless family (PNG levels/filters, BMP), seeds
-    * >= 80 are baseline JPEG ([[JpegOps.synthJpeg]]: bytes vary per
-    * variant via COM padding and restart intervals, decoded raster a
-    * pure function of the seed — exact despite the lossy format, see
-    * [[JpegOps]]). Lossy groups get their OWN rasters (a noise raster
+    * >= 80 are JPEG ([[JpegOps.synthJpeg]]: bytes vary per variant via
+    * COM padding, restart intervals, and a SOF2 progressive two-scan
+    * encoding, decoded raster a pure function of the seed — exact
+    * despite the lossy format, see [[JpegOps]]). Lossy groups get their
+    * OWN rasters (a noise raster
     * cannot survive JPEG bit-exactly), so group membership stays pure
     * seed arithmetic: same seed => identical decoded raster => identical
     * dHash, regardless of which container any member landed in. */

@@ -72,19 +72,23 @@ object JpegOps {
     out
   }
 
-  /** seed -> baseline grayscale JPEG bytes whose decode is exactly
-    * [[jpegRaster]](seed). `variant mod 4` varies the BYTES only:
+  /** seed -> grayscale JPEG bytes whose decode is exactly
+    * [[jpegRaster]](seed). `variant mod 5` varies the BYTES only:
     * 0 plain, 1 COM padding, 2 restart interval 2, 3 longer COM +
-    * restart interval 3. Never null, never throws. */
+    * restart interval 3, 4 PROGRESSIVE (SOF2, DC scan + AC EOB scan,
+    * restart interval 2 — same coefficients delivered through the
+    * Annex G scan machinery, so the raster stays the seed's exact
+    * function). Never null, never throws. */
   def synthJpeg(seed: Long, variant: Int): Array[Byte] = {
-    val v = java.lang.Math.floorMod(variant, 4)
+    val v = java.lang.Math.floorMod(variant, 5)
     val comment = v match {
       case 1 => "graft synthetic jpeg"
       case 3 => "graft synthetic jpeg / byte-variant padding " + "~" * 16
       case _ => null
     }
-    val dri = v match { case 2 => 2; case 3 => 3; case _ => 0 }
-    encodeGrayBlockJpeg(jpegBlockValues(seed), W / 8, H / 8, comment, dri)
+    val dri = v match { case 2 | 4 => 2; case 3 => 3; case _ => 0 }
+    encodeGrayBlockJpeg(jpegBlockValues(seed), W / 8, H / 8, comment, dri,
+      progressive = v == 4)
   }
 
   /** per-block constant values of [[jpegRaster]], block-row-major */
@@ -154,11 +158,15 @@ object JpegOps {
     def align(): Unit = if (cnt > 0) { buf = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1); cnt = 8; flushByte() }
   }
 
-  /** `blockVals(by*bw+bx)` constant sample values -> baseline grayscale
-    * JFIF bytes (flat quantization, Annex K tables, optional COM and
-    * restart interval). */
+  /** `blockVals(by*bw+bx)` constant sample values -> grayscale JFIF
+    * bytes (flat quantization, Annex K tables, optional COM and restart
+    * interval). `progressive` emits the SAME coefficients as SOF2 with
+    * two scans — DC (Ss=0,Se=0) then AC (Ss=1,Se=63, one EOB per block,
+    * every AC coefficient being zero) — so the decode stays bit-exact
+    * while the bytes exercise the Annex G scan path end to end. */
   def encodeGrayBlockJpeg(blockVals: Array[Int], bw: Int, bh: Int,
-                          comment: String, dri: Int): Array[Byte] = {
+                          comment: String, dri: Int,
+                          progressive: Boolean = false): Array[Byte] = {
     require(blockVals.length == bw * bh)
     val out = new java.io.ByteArrayOutputStream(512)
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -177,7 +185,7 @@ object JpegOps {
     u16(2 + 1 + 64); u8(0x00)
     var i = 0
     while (i < 64) { u8(1); i += 1 }
-    marker(0xC0) // SOF0: 8-bit, 1 component, 1x1
+    marker(if (progressive) 0xC2 else 0xC0) // SOF: 8-bit, 1 comp, 1x1
     u16(11); u8(8); u16(bh * 8); u16(bw * 8); u8(1)
     u8(1); u8(0x11); u8(0)
     def dht(tcTh: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
@@ -188,19 +196,30 @@ object JpegOps {
     dht(0x00, DcCounts, DcSymbols)
     dht(0x10, AcCounts, AcSymbols)
     if (dri > 0) { marker(0xDD); u16(4); u16(dri) }
-    marker(0xDA) // SOS
-    u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
 
-    val bits = new BitWriter(out)
+    // per-call DC predictor (local: encodes run concurrently inside
+    // executor tasks, object state would race)
     var pred = 0
-    var rst = 0
-    var b = 0
-    while (b < blockVals.length) {
-      if (dri > 0 && b > 0 && b % dri == 0) {
-        bits.align()
-        marker(0xD0 + rst); rst = (rst + 1) & 7
-        pred = 0
+    /** one entropy-coded scan: per-block body with restart cadence */
+    def scan(ss: Int, se: Int)(body: (BitWriter, Int) => Unit): Unit = {
+      marker(0xDA) // SOS
+      u16(8); u8(1); u8(1); u8(0x00); u8(ss); u8(se); u8(0)
+      val bits = new BitWriter(out)
+      var rst = 0
+      var b = 0
+      pred = 0
+      while (b < blockVals.length) {
+        if (dri > 0 && b > 0 && b % dri == 0) {
+          bits.align()
+          marker(0xD0 + rst); rst = (rst + 1) & 7
+          pred = 0
+        }
+        body(bits, b)
+        b += 1
       }
+      bits.align()
+    }
+    def putDc(bits: BitWriter, b: Int): Unit = {
       val dc = 8 * (blockVals(b) - 128)
       val diff = dc - pred
       pred = dc
@@ -210,11 +229,18 @@ object JpegOps {
       bits.put(dcCode, dcLen)
       if (cat > 0)
         bits.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
-      val (eobCode, eobLen) = AcCodes(0x00)
-      bits.put(eobCode, eobLen)
-      b += 1
     }
-    bits.align()
+    val (eobCode, eobLen) = AcCodes(0x00)
+
+    if (progressive) {
+      scan(0, 0)(putDc) // DC first pass
+      scan(1, 63)((bits, _) => bits.put(eobCode, eobLen)) // AC: all zero
+    } else {
+      scan(0, 63) { (bits, b) =>
+        putDc(bits, b)
+        bits.put(eobCode, eobLen)
+      }
+    }
     marker(0xD9) // EOI
     out.toByteArray
   }

@@ -6,11 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.DataType
 
-/** REAL pixel decode for baseline sequential JPEG (ITU-T T.81) — the
+/** REAL pixel decode for Huffman-coded JPEG (ITU-T T.81) — the
   * dominant web image format, previously the declared lossy-codec stub.
   * Implemented from the public specification like the other no-codec
   * decoders ([[PngPixels]]/[[BmpPixels]]/[[GifPixels]]): marker segment
-  * walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman entropy decode with
+  * walk (DQT/SOF/DHT/DRI/SOS), canonical Huffman entropy decode with
   * byte-unstuffing and restart-marker handling, DC prediction,
   * dequantization, zigzag reorder, 2-D separable IDCT, integer-factor
   * chroma upsampling (box), and JFIF YCbCr->RGB. Emits the SAME
@@ -18,12 +18,19 @@ import org.apache.spark.sql.types.DataType
   * lossless decoders, so `ImageOps.grayResize` / `DHash64` /
   * `Multimodal.featurizeImage` are format-blind across all four formats.
   *
-  * Declared subset: baseline (SOF0) and extended-sequential (SOF1)
-  * Huffman, 8-bit precision, 1 or 3 components, integer sampling ratios
-  * (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1...), interleaved single-scan or
-  * per-component scans, restart intervals. Returns null for:
-  * progressive (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit,
-  * 4-component (CMYK/Adobe). Chroma upsampling is box replication —
+  * Declared subset: baseline (SOF0), extended-sequential (SOF1) AND
+  * progressive (SOF2) Huffman, 8-bit precision, 1 or 3 components,
+  * integer sampling ratios (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1...),
+  * interleaved or per-component scans, restart intervals. Progressive
+  * frames run the T.81 Annex G successive-approximation machinery:
+  * scans decode into per-component COEFFICIENT planes (spectral bands
+  * `Ss..Se`, point transform `Al`, DC/AC first + refinement passes with
+  * shared EOB-run state), then one dequantize+IDCT pass per block at
+  * the end — so the transient footprint is 4 bytes/sample of
+  * coefficient state, still bounded by the [[MaxRaster]] sample cap.
+  * Returns null for: arithmetic coding (SOF9+), hierarchical, lossless,
+  * 12-bit, 4-component (CMYK/Adobe). Chroma upsampling is box
+  * replication —
   * decoders legitimately differ here (and in IDCT rounding), so the
   * ImageSpec cross-oracle against the JDK's independent ImageIO codec is
   * tolerance-based, unlike the bit-exact lossless oracles.
@@ -106,6 +113,7 @@ object JpegPixels {
     var pred = 0
     var blocksX = 0; var blocksY = 0 // allocated plane size in blocks
     var plane: Array[Byte] = null // blocksX*8 x blocksY*8 samples
+    var coef: Array[Int] = null // progressive only: blocks x 64, natural
   }
 
   /** (byte[]) -> InternalRow(width, height, channels, raster) or null;
@@ -127,6 +135,7 @@ object JpegPixels {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
     var pos = 2
 
     // ---------------- marker segment walk up to each SOS ----------------
@@ -145,8 +154,9 @@ object JpegPixels {
           pos = n
         case m if m >= 0xD0 && m <= 0xD7 => // stray RST outside a scan
           return null
-        case 0xC0 | 0xC1 => // SOF0 / SOF1: baseline & extended sequential
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
           if (frameSeen || pos + 2 > n) return null
+          progressive = marker == 0xC2
           val len = u16(pos)
           if (pos + len > n || len < 8) return null
           val prec = u8(pos + 2)
@@ -180,13 +190,18 @@ object JpegPixels {
           }
           if (total > MaxRaster ||
               width.toLong * height * nf > MaxRaster) return null
-          comps.foreach(c =>
-            c.plane = new Array[Byte](c.blocksX * 8 * c.blocksY * 8))
+          comps.foreach { c =>
+            c.plane = new Array[Byte](c.blocksX * 8 * c.blocksY * 8)
+            // progressive: scans accumulate coefficients (1 int per
+            // padded sample, same count the sample cap just bounded)
+            if (progressive)
+              c.coef = new Array[Int](c.blocksX * c.blocksY * 64)
+          }
           frameSeen = true
           pos += len
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return null // progressive / lossless / arithmetic: out of subset
+          return null // lossless / arithmetic / hierarchical: out of subset
         case 0xC4 => // DHT
           if (pos + 2 > n) return null
           val len = u16(pos)
@@ -251,9 +266,25 @@ object JpegPixels {
             scanComps(i) = c
             i += 1
           }
-          // Ss/Se/Ah/Al ignored for sequential (0, 63, 0, 0)
-          val after = decodeScan(b, pos + len, scanComps, comps,
-            dcTabs, acTabs, quant, width, height, restartInterval)
+          val after =
+            if (progressive) {
+              // Ss/Se/Ah/Al select the spectral band + approximation pass
+              val ss = u8(pos + 3 + 2 * ns); val se = u8(pos + 4 + 2 * ns)
+              val ahAl = u8(pos + 5 + 2 * ns)
+              val ah = ahAl >> 4; val al = ahAl & 0xF
+              // T.81 Annex G constraints: DC band is exactly 0..0 and may
+              // be interleaved; AC bands are single-component only
+              if (ss == 0 && se != 0) return null
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) return null
+              if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1))
+                return null
+              decodeProgScan(b, pos + len, scanComps, comps, dcTabs,
+                acTabs, width, height, restartInterval, ss, se, ah, al)
+            } else {
+              // Ss/Se/Ah/Al ignored for sequential (0, 63, 0, 0)
+              decodeScan(b, pos + len, scanComps, comps,
+                dcTabs, acTabs, quant, width, height, restartInterval)
+            }
           if (after < 0) return null
           scansDone += 1
           pos = after
@@ -270,6 +301,29 @@ object JpegPixels {
     // every component must have been covered by some scan (pred stays 0
     // and plane stays black otherwise — treat missing scans as corrupt
     // only when NO scan ran; per-component coverage is not tracked)
+
+    if (progressive) {
+      // all scans accumulated raw coefficients; dequantize + IDCT once
+      val blk = new Array[Int](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c.tq)
+        var by = 0
+        while (by < c.blocksY) {
+          var bx = 0
+          while (bx < c.blocksX) {
+            val base = (by * c.blocksX + bx) * 64
+            var i = 0
+            while (i < 64) { blk(i) = c.coef(base + i) * q(i); i += 1 }
+            idctInto(blk, c.plane, c.blocksX * 8, bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+    }
 
     // ---------------- upsample + color convert ----------------
     val nf = comps.length
@@ -447,6 +501,237 @@ object JpegPixels {
     }
     // position at the next marker: after the pad bits of the final byte
     // the stream must sit exactly at a 0xFF marker (T.81 B.2.1)
+    if (pos >= n || (b(pos) & 0xFF) != 0xFF) return -1
+    pos
+  }
+
+  /** Decode one PROGRESSIVE scan (T.81 Annex G) into the component
+    * coefficient planes: spectral band `ss..se`, successive-approximation
+    * pass `ah`/`al`. Four modes — DC first (`ss=0, ah=0`: predicted diff,
+    * scaled `<< al`), DC refinement (`ah>0`: one appended bit per block),
+    * AC first (`ss>0, ah=0`: run/size codes + EOBn end-of-band runs),
+    * AC refinement (`ah>0`: correction bits woven through the history,
+    * G.1.2.3 — blocks inside an EOB run still consume correction bits for
+    * their already-nonzero coefficients). EOB-run state spans blocks
+    * within the scan and resets at restart markers, like DC prediction.
+    * Returns the offset of the next marker (AT its 0xFF) or -1. */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+                             scanComps: Array[Component],
+                             all: Array[Component],
+                             dcTabs: Array[Huff], acTabs: Array[Huff],
+                             width: Int, height: Int,
+                             restartInterval: Int,
+                             ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val n = b.length
+    // ---- bit reader, identical contract to the sequential scan ----
+    var pos = start
+    var bitBuf = 0; var bitCnt = 0
+    var hitMarker = false
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || pos >= n) return -1
+        val v = b(pos) & 0xFF
+        if (v == 0xFF) {
+          if (pos + 1 >= n) { hitMarker = true; return -1 }
+          val nxt = b(pos + 1) & 0xFF
+          if (nxt == 0x00) { pos += 2; bitBuf = 0xFF; bitCnt = 8 }
+          else { hitMarker = true; return -1 }
+        } else { pos += 1; bitBuf = v; bitCnt = 8 }
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) {
+        val bit = readBit(); if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def decodeHuff(h: Huff): Int = {
+      if (h == null) return Int.MinValue
+      var code = readBit(); if (code < 0) return Int.MinValue
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.value(l, code)
+        val bit = readBit(); if (bit < 0) return Int.MinValue
+        code = (code << 1) | bit
+        l += 1
+      }
+      Int.MinValue
+    }
+
+    val p1 = 1 << al
+    var eobrun = 0L // end-of-band run shared across blocks in this scan
+
+    def dcFirst(c: Component, base: Int): Boolean = {
+      val t = decodeHuff(dcTabs(c.dcTab))
+      if (t == Int.MinValue || t > 15) return false
+      val bits = receive(t); if (bits == Int.MinValue) return false
+      c.pred += extend(bits, t)
+      c.coef(base) = c.pred << al
+      true
+    }
+    def dcRefine(c: Component, base: Int): Boolean = {
+      val bit = readBit(); if (bit < 0) return false
+      if (bit == 1) c.coef(base) |= p1
+      true
+    }
+    def acFirst(c: Component, base: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val ac = acTabs(c.acTab)
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(ac)
+        if (rs == Int.MinValue) return false
+        val r = rs >> 4; val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: band of (1<<r)+bits all-zero-from-here blocks
+            eobrun = (1L << r) - 1
+            if (r > 0) {
+              val ext = receive(r); if (ext == Int.MinValue) return false
+              eobrun += ext
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val vb = receive(s); if (vb == Int.MinValue) return false
+          c.coef(base + Zigzag(k)) = extend(vb, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(c: Component, base: Int): Boolean = {
+      val coef = c.coef
+      // appends one correction bit to an already-nonzero coefficient
+      def correct(idx: Int): Boolean = {
+        val bit = readBit(); if (bit < 0) return false
+        if (bit == 1 && (coef(idx) & p1) == 0)
+          coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        val ac = acTabs(c.acTab)
+        var done = false
+        while (k <= se && !done) {
+          val rs = decodeHuff(ac)
+          if (rs == Int.MinValue) return false
+          var r = rs >> 4; val s = rs & 0xF
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn: rest of this block is EOB territory
+              eobrun = (1L << r) - 1
+              if (r > 0) {
+                val ext = receive(r); if (ext == Int.MinValue) return false
+                eobrun += ext
+              }
+              eobrun += 1 // this block consumes one run entry below
+              done = true
+            }
+            // r == 15 (ZRL): pass 16 zero-history positions, no new coef
+          } else {
+            if (s != 1) return false // refinement emits magnitude-1 only
+            val bit = readBit(); if (bit < 0) return false
+            newVal = if (bit == 1) p1 else -p1
+          }
+          if (!done) {
+            // advance over r zero-history positions (correcting nonzero
+            // ones en route), then place the new coefficient if any
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = base + Zigzag(k)
+              if (coef(idx) != 0) {
+                if (!correct(idx)) return false
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) coef(idx) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB block: only correction bits for surviving nonzero history
+        while (k <= se) {
+          val idx = base + Zigzag(k)
+          if (coef(idx) != 0 && !correct(idx)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def decodeOne(c: Component, bx: Int, by: Int): Boolean = {
+      val base = (by * c.blocksX + bx) * 64
+      if (ss == 0) { if (ah == 0) dcFirst(c, base) else dcRefine(c, base) }
+      else { if (ah == 0) acFirst(c, base) else acRefine(c, base) }
+    }
+
+    val interleaved = scanComps.length > 1
+    val hMax = all.map(_.h).max; val vMax = all.map(_.v).max
+    val (mcusX, mcusY) =
+      if (interleaved)
+        ((width + 8 * hMax - 1) / (8 * hMax),
+          (height + 8 * vMax - 1) / (8 * vMax))
+      else {
+        val c = scanComps(0)
+        val cw = (width.toLong * c.h + hMax - 1) / hMax
+        val chh = (height.toLong * c.v + vMax - 1) / vMax
+        (((cw + 7) / 8).toInt, ((chh + 7) / 8).toInt)
+      }
+    scanComps.foreach(_.pred = 0)
+    var mcu = 0
+    val totalMcus = mcusX.toLong * mcusY
+    var rstNext = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bitCnt = 0
+        if (pos + 1 >= n || (b(pos) & 0xFF) != 0xFF) return -1
+        val m = b(pos + 1) & 0xFF
+        if (m != 0xD0 + rstNext) return -1
+        pos += 2; hitMarker = false
+        rstNext = (rstNext + 1) & 7
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      val my = (mcu / mcusX).toInt; val mx = (mcu % mcusX).toInt
+      if (interleaved) {
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var v = 0
+          while (v < c.v) {
+            var h = 0
+            while (h < c.h) {
+              if (!decodeOne(c, mx * c.h + h, my * c.v + v)) return -1
+              h += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+      } else {
+        val c = scanComps(0)
+        if (mx < c.blocksX && my < c.blocksY) {
+          if (!decodeOne(c, mx, my)) return -1
+        }
+      }
+      mcu += 1
+    }
     if (pos >= n || (b(pos) & 0xFF) != 0xFF) return -1
     pos
   }

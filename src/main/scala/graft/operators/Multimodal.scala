@@ -15,16 +15,18 @@ import org.apache.spark.sql.types._
   * ISO-BMFF box walk). Pixel DATA is decoded for real across EVERY
   * image format: PNG ([[decodePngPixels]]: JDK-zlib IDAT inflate +
   * filter reconstruction), uncompressed BMP (`expressions.BmpPixels`),
-  * GIF (`expressions.GifPixels`: real LZW + de-interlace) and baseline
-  * JPEG (`expressions.JpegPixels`: Huffman entropy decode +
-  * dequantize + IDCT + chroma upsample, ITU T.81) — all four feeding
-  * the same format-blind raster pipeline ([[featurizeImage]], dHash
-  * near-dup) — plus WAV samples ([[audioFeatures]]: RIFF walk +
-  * per-frame peak/rms/silence over integer PCM 8/16/24/32, IEEE-float
-  * 32/64, G.711 A-law/µ-law, plain or WAVE_FORMAT_EXTENSIBLE framing).
+  * GIF (`expressions.GifPixels`: real LZW + de-interlace) and JPEG,
+  * both baseline AND progressive (`expressions.JpegPixels`: Huffman
+  * entropy decode + T.81 Annex G successive approximation + dequantize
+  * + IDCT + chroma upsample) — all four feeding the same format-blind
+  * raster pipeline ([[featurizeImage]], dHash near-dup) — plus WAV
+  * samples ([[audioFeatures]]: RIFF walk + per-frame peak/rms/silence
+  * over integer PCM 8/16/24/32, IEEE-float 32/64, G.711 A-law/µ-law,
+  * plain or WAVE_FORMAT_EXTENSIBLE framing).
   * What remains a STUB (`decodeStub`/[[featurizeStub]]) is TRANSFORM
   * AUDIO codecs (MP3/AAC/opus) and VIDEO-FRAME decode (and the
-  * progressive/arithmetic JPEG modes outside JpegPixels' subset) — this
+  * arithmetic-coded/hierarchical JPEG modes outside JpegPixels'
+  * subset) — this
   * container has no codec libraries — exercised through a deterministic
   * fake container embedded by [[attachFakeMedia]]. In production the stub
   * body is replaced by a real codec behind the same column signature

@@ -110,6 +110,24 @@ class FuzzSpec extends AnyFunSuite {
       Array.tabulate(24 * 16)(i => ((i * 7) % 256).toByte)
         .flatMap(g => Array(g, g, g)), 24, 16)
     val validJpg = graft.expressions.JpegOps.synthJpeg(91L, 3)
+    // progressive (SOF2): the Annex G scan machinery — EOB runs,
+    // refinement correction bits — is its own adversarial surface
+    val validProg = {
+      val img = new java.awt.image.BufferedImage(
+        24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 24)
+        img.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
     def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       for {
         pos <- Gen.choose(0, valid.length - 1)
@@ -119,7 +137,7 @@ class FuzzSpec extends AnyFunSuite {
     val bytesGen: Gen[Array[Byte]] = Gen.oneOf(
       Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
       mutations(validPng), mutations(validBmp), mutations(validGif),
-      mutations(validJpg))
+      mutations(validJpg), mutations(validProg))
     val prop = Prop.forAll(bytesGen) { b =>
       graft.expressions.ImageOps.dhash64(b) // Long or null -- no throw
       graft.expressions.ImageOps.grayResize(b, 4, 4)

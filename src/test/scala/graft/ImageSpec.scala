@@ -383,18 +383,24 @@ class ImageSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
-  test("SynthJpeg emits valid baseline JPEG that decodes BIT-EXACTLY — " +
+  test("SynthJpeg emits valid JPEG that decodes BIT-EXACTLY — " +
        "by our decoder and by the JDK's independent ImageIO codec — " +
-       "across all byte variants (COM padding, restart intervals)") {
+       "across all byte variants (COM padding, restart intervals, " +
+       "and the SOF2 progressive two-scan encoding)") {
     import graft.expressions.{JpegOps, JpegPixels}
     for (seed <- Seq(80L, 85L, 93L, 99L)) {
       val want = JpegOps.jpegRaster(seed)
-      val bytesPerVariant = (0 until 4).map(v => JpegOps.synthJpeg(seed, v))
+      val bytesPerVariant = (0 until 5).map(v => JpegOps.synthJpeg(seed, v))
       // bytes genuinely differ per variant...
-      assert(bytesPerVariant.map(_.toSeq).distinct.size == 4, s"seed=$seed")
+      assert(bytesPerVariant.map(_.toSeq).distinct.size == 5, s"seed=$seed")
+      // ...variant 4 really is progressive (SOF2 present, SOF0 absent)...
+      val prog = bytesPerVariant(4)
+      assert(prog.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2), "SOF2 missing")
       bytesPerVariant.zipWithIndex.foreach { case (bytes, v) =>
         // ...our decoder reconstructs the exact raster (incl. through the
-        // RST-marker path for variants 2 and 3)...
+        // RST-marker path for variants 2-4 and the progressive DC+AC
+        // scan machinery for variant 4)...
         val row = JpegPixels.pixels(bytes)
         assert(row != null, s"seed=$seed v=$v")
         assert(row.getInt(0) == JpegOps.W && row.getInt(1) == JpegOps.H &&
@@ -479,6 +485,97 @@ class ImageSpec extends SparkSpec {
     assert(JpegPixels.pixels(Array[Byte](0xFF.toByte, 0xD8.toByte)) == null)
     assert(JpegPixels.pixels(gbytes.take(60)) == null)
     assert(JpegPixels.pixels("not a jpeg at all".getBytes) == null)
+  }
+
+  test("progressive JPEG (SOF2): the JDK writer's multi-scan successive-" +
+       "approximation stream decodes within IDCT tolerance of both " +
+       "ImageIO's decode and our sequential decode of the same image") {
+    import graft.expressions.JpegPixels
+    def writeJpeg(img: java.awt.image.BufferedImage,
+                  progressive: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def hasSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2)
+
+    val w = 37; val h = 23 // odd dims: partial-MCU edge blocks
+    // grayscale: smooth gradient, quantization the only error source
+    val gimg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (x * 4 + y * 3 + 20) % 256)
+    val gseq = writeJpeg(gimg, progressive = false)
+    val gprog = writeJpeg(gimg, progressive = true)
+    assert(!hasSof2(gseq) && hasSof2(gprog),
+      "JDK writer must emit SOF2 only in progressive mode")
+    val ours = JpegPixels.pixels(gprog)
+    assert(ours != null && ours.getInt(0) == w && ours.getInt(1) == h &&
+      ours.getInt(2) == 1)
+    val theirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gprog))
+    val seqOurs = JpegPixels.pixels(gseq)
+    var maxVsImageIO = 0; var maxVsSeq = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ours.getBinary(3)(y * w + x) & 0xFF
+      maxVsImageIO = math.max(maxVsImageIO,
+        math.abs(v - theirs.getRaster.getSample(x, y, 0)))
+      // same writer, same quant tables: progressive reorders the BITS,
+      // the complete coefficient set is identical to the sequential file
+      maxVsSeq = math.max(maxVsSeq,
+        math.abs(v - (seqOurs.getBinary(3)(y * w + x) & 0xFF)))
+    }
+    assert(maxVsImageIO <= 2, s"gray progressive vs ImageIO $maxVsImageIO")
+    assert(maxVsSeq <= 2, s"gray progressive vs our sequential $maxVsSeq")
+
+    // color (subsampled chroma): AC refinement runs on all 3 components
+    val cimg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      cimg.setRGB(x, y, ((x * 3 + 40) << 16) | ((y * 5 + 60) << 8) |
+        ((x * 2 + y * 2 + 50) & 0xFF))
+    val cprog = writeJpeg(cimg, progressive = true)
+    assert(hasSof2(cprog))
+    val cours = JpegPixels.pixels(cprog)
+    assert(cours != null && cours.getInt(0) == w && cours.getInt(1) == h &&
+      cours.getInt(2) == 3)
+    val ctheirs = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cprog))
+    var sum = 0L; var cmax = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ctheirs.getRGB(x, y)
+      val t = c match {
+        case 0 => (rgb >> 16) & 0xFF
+        case 1 => (rgb >> 8) & 0xFF
+        case _ => rgb & 0xFF
+      }
+      val d = math.abs((cours.getBinary(3)((y * w + x) * 3 + c) & 0xFF) - t)
+      sum += d; cmax = math.max(cmax, d)
+    }
+    val mean = sum.toDouble / (w * h * 3)
+    assert(mean < 3.0, s"color progressive mean disagreement $mean")
+    assert(cmax <= 32, s"color progressive max disagreement $cmax")
+
+    // the format-blind raster pipeline accepts the progressive stream
+    assert(ImageOps.dhash64(gprog) != null)
+    // truncations and bit flips: null or a row, never a throw
+    for (cut <- Seq(2, 20, gprog.length / 2, gprog.length - 3))
+      JpegPixels.pixels(gprog.take(cut))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val m = gprog.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      JpegPixels.pixels(m)
+    }
   }
 
   test("synthMedia: all 100 group signatures (80 lossless + 20 JPEG) " +
