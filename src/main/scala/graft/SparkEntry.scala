@@ -130,6 +130,18 @@ object SparkEntry {
     * `graft.expressions.JpegOps`) — so the lossy web format rides the
     * same seed-arithmetic oracle. Dumping separates the one-off encode
     * cost from the decode pipeline under measurement. */
+  /** Engine-computed 64-bit simhash signatures over `documents`, dumped
+    * once per JVM: `q_simhash_pairs` and its DuckDB brute-force Hamming
+    * twin read THE SAME rows, so the oracle verifies the
+    * Hamming-pigeonhole pairing machinery (not the hash bits, which are
+    * engine-defined — those are pinned separately by SimHash64's
+    * HOF-parity kernel test). */
+  private[graft] def simhashSigTable(s: SparkSession, dir: String): DataFrame =
+    OracleDump.table(s, "simhash_sigs") {
+      t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
+    }
+
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))) {
@@ -381,13 +393,24 @@ object SparkEntry {
         .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
 
-    // ---- training-data operators (rows-only; ScalaTest-verified) --------
+    // ---- training-data operators --------------------------------------
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
         .orderBy("id_a", "id_b")),
-    "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashDedup(t(s, dir, "documents"), maxHamming = 8)
-        .orderBy("id_a", "id_b")),
+    // simhash near-dup against a DuckDB BRUTE-FORCE twin: the engine's
+    // own signature bits are dumped once (simhashSigTable), and DuckDB
+    // derives the exact Hamming<=8 pair set by O(n^2) xor/bit_count over
+    // the same rows — so the oracle checks the pigeonhole machinery
+    // itself (chunk explode, bounded buckets, in-bucket pair explode):
+    // recall AND precision, not just "rows came back". maxBucket is
+    // corpus-sized so the cap can never drop a bucket at test scale
+    // (drops would be a recall loss the brute-force twin still derives).
+    "q_simhash_pairs" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      Dedup.hammingDedup(simhashSigTable(s, dir), maxHamming = 8,
+          maxBucket = math.max(256L, n).toInt)
+        .orderBy("id_a", "id_b")
+    }),
     // image near-dup over REAL decoded pixels: each doc carries an image
     // whose pixels are a pure function of doc_id % 100 but whose BYTES
     // differ per doc — groups 0-79: PNG compression level + scanline
@@ -1752,6 +1775,18 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS hamming
         | FROM documents a JOIN documents b
         |   ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin,
+    // brute-force Hamming twin over the engine's own dumped signatures:
+    // the bucketed pigeonhole pairing must reproduce the O(n^2) answer
+    // exactly — full recall (pigeonhole, uncapped buckets) AND precision
+    // (in-pair exact Hamming filter)
+    "q_simhash_pairs" ->
+      s"""SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        | FROM read_parquet('${OracleDump.glob("simhash_sigs")}') a
+        | JOIN read_parquet('${OracleDump.glob("simhash_sigs")}') b
+        |   ON a.id < b.id
+        | WHERE bit_count(xor(a.sig, b.sig)) <= 8
         | ORDER BY id_a, id_b""".stripMargin,
     "q_components" ->
       """WITH RECURSIVE
