@@ -142,6 +142,19 @@ object SparkEntry {
         graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
     }
 
+  /** Engine-computed MinHash LSH band rows `(id, band, band_hash)` over
+    * `documents`, dumped once per JVM: `q_minhash_pairs` buckets THESE
+    * rows, and its DuckDB twin re-derives the candidate buckets from the
+    * same parquet and re-verifies each candidate with the exact-Jaccard
+    * SQL kernel `q_jaccard_exact` already proves — so the whole
+    * band->bucket->pair->verify composition is oracle-checked, not just
+    * its verification tail. */
+  private[graft] def minhashBandTable(s: SparkSession, dir: String): DataFrame =
+    OracleDump.table(s, "minhash_bands") {
+      Dedup.minhashBandRows(t(s, dir, "documents"), "text", "doc_id",
+        k = 64, bands = 16, shingleN = 3)
+    }
+
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))) {
@@ -394,9 +407,18 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
 
     // ---- training-data operators --------------------------------------
-    "q_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)
-        .orderBy("id_a", "id_b")),
+    // MinHash LSH against a DuckDB twin that re-derives candidates from
+    // the engine's own dumped band rows and re-verifies them with the
+    // exact-Jaccard SQL kernel: bucket -> pair -> verify, all checked.
+    // maxBucket corpus-sized so the cap never drops a bucket at test
+    // scale (both engines would otherwise need identical cap semantics).
+    "q_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      Dedup.minhashLshFromBands(docs, minhashBandTable(s, dir),
+          threshold = 0.5, maxBucket = math.max(256L, n).toInt)
+        .orderBy("id_a", "id_b")
+    }),
     // simhash near-dup against a DuckDB BRUTE-FORCE twin: the engine's
     // own signature bits are dumped once (simhashSigTable), and DuckDB
     // derives the exact Hamming<=8 pair set by O(n^2) xor/bit_count over
@@ -1775,6 +1797,34 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS hamming
         | FROM documents a JOIN documents b
         |   ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin,
+    // candidate re-derivation from the engine's own dumped band rows
+    // (bucket on (band, band_hash), all in-bucket pairs) + exact-Jaccard
+    // re-verification with the same shingle SQL q_jaccard_exact proves
+    "q_minhash_pairs" ->
+      s"""WITH b AS (SELECT id, band, band_hash
+        |   FROM read_parquet('${OracleDump.glob("minhash_bands")}')),
+        | keep AS (SELECT band, band_hash FROM b
+        |   GROUP BY 1, 2 HAVING count(*) >= 2),
+        | m AS (SELECT b.id, b.band, b.band_hash
+        |   FROM b JOIN keep USING (band, band_hash)),
+        | cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |   FROM m a JOIN m b2 ON a.band = b2.band
+        |     AND a.band_hash = b2.band_hash AND a.id < b2.id),
+        | tk AS (SELECT doc_id,
+        |   list_filter(string_split_regex(lower(text), '\\s+'),
+        |     w -> w <> '') AS t FROM documents),
+        | sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+        |   THEN [array_to_string(t, ' ')]
+        |   ELSE list_distinct(list_transform(range(0, len(t) - 2),
+        |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) END AS s
+        |  FROM tk),
+        | j AS (SELECT c.id_a, c.id_b,
+        |   CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+        |     len(list_distinct(list_concat(a.s, b2.s))) AS jaccard
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b2 ON b2.doc_id = c.id_b)
+        | SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
     // brute-force Hamming twin over the engine's own dumped signatures:
     // the bucketed pigeonhole pairing must reproduce the O(n^2) answer

@@ -234,8 +234,21 @@ object Dedup {
                  threshold: Double = 0.7, shingleN: Int = 3,
                  maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val bandRows = minhashBandRows(df, textCol, idCol, k, bands, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    minhashLshFromBands(df,
+      minhashBandRows(df, textCol, idCol, k, bands, shingleN),
+      textCol, idCol, threshold, shingleN, maxBucket)
+  }
+
+  /** [[minhashLsh]]'s pairing + verification stages over an
+    * externally-supplied `(id, band, band_hash)` frame — the seam that
+    * lets `q_minhash_pairs` run against a DUMPED band-row table its
+    * DuckDB oracle re-derives candidates from (the same-rows contract
+    * as the simhash signature dump). */
+  private[graft] def minhashLshFromBands(df: DataFrame, bandRows0: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 threshold: Double = 0.7, shingleN: Int = 3,
+                 maxBucket: Int = 200): DataFrame = {
+    val bandRows = bandRows0.persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = boundedBucketMembers(bandRows,
         Seq("band", "band_hash"), col("id"), maxBucket)
       .select(bucketPairs(col("members"),
