@@ -155,6 +155,18 @@ object SparkEntry {
         k = 64, bands = 16, shingleN = 3)
     }
 
+  /** Engine-computed random-hyperplane sign-sketch rows
+    * `(id, vec, norm, bucket)` over `embeddings`, dumped once per JVM:
+    * `q_embedding_neardup` buckets THESE rows, and DuckDB re-derives the
+    * in-bucket pairs + cosines from the same parquet — the sketch bits
+    * are engine-defined (pinned by SignSketch's HOF-parity test), the
+    * bucketing/pairing/threshold machinery is what the oracle checks. */
+  private[graft] def embSigTable(s: SparkSession, dir: String): DataFrame =
+    OracleDump.table(s, "emb_sigs") {
+      Dedup.embeddingSigRows(t(s, dir, "embeddings"), "embedding",
+        "vec_id", planes = 8)
+    }
+
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))) {
@@ -461,9 +473,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     // no-silent-caps contract: how many LSH buckets the maxBucket cap
-    // dropped (and the band rows inside them) for the minhash run above
-    "q_lsh_bucket_stats" -> ((s, dir) =>
-      Dedup.minhashBucketStats(t(s, dir, "documents"))),
+    // dropped (and the band rows inside them) for the minhash run above —
+    // same dumped band rows, same corpus-sized maxBucket, and a DuckDB
+    // twin recomputing the identical stats from the same parquet
+    "q_lsh_bucket_stats" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count()
+      Dedup.minhashBucketStatsFromBands(minhashBandTable(s, dir),
+        maxBucket = math.max(256L, n).toInt)
+    }),
     // duplicate-cluster resolution: chain edges (consecutive ids within
     // each exact-dup prefix group) force transitive label propagation;
     // oracle = DuckDB recursive-CTE closure
@@ -500,11 +517,17 @@ object SparkEntry {
     }),
     // the synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.4), so the demo threshold is set where candidates exist; the
-    // production default stays 0.99 in the operator
-    "q_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), planes = 8,
-          threshold = 0.2)
-        .orderBy("id_a", "id_b")),
+    // production default stays 0.99 in the operator. Oracle: DuckDB
+    // re-derives in-bucket pairs + cosines from the engine's own dumped
+    // sign-sketch rows (cosine bround(6) both sides, the
+    // q_cosine_exact accumulation-order convention).
+    "q_embedding_neardup" -> ((s, dir) => {
+      val n = t(s, dir, "embeddings").count()
+      Dedup.embeddingNearDupFromSigs(embSigTable(s, dir),
+          threshold = 0.2, maxBucket = math.max(1000L, n).toInt)
+        .withColumn("cosine", bround(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -1798,6 +1821,35 @@ object SparkEntry {
         | FROM documents a JOIN documents b
         |   ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
         | ORDER BY id_a, id_b""".stripMargin,
+    // the cap-diagnostics stats recomputed from the same dumped band
+    // rows with the same corpus-derived maxBucket (distinct doc count)
+    "q_lsh_bucket_stats" ->
+      s"""WITH b AS (SELECT id, band, band_hash
+        |   FROM read_parquet('${OracleDump.glob("minhash_bands")}')),
+        | mb AS (SELECT greatest(256, count(DISTINCT id)) AS m FROM b),
+        | g AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY 1, 2)
+        | SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND (SELECT m FROM mb)
+        |    THEN 1 END), 0) AS BIGINT) AS kept_buckets,
+        |  CAST(coalesce(sum(CASE WHEN n > (SELECT m FROM mb)
+        |    THEN 1 END), 0) AS BIGINT) AS dropped_buckets,
+        |  CAST(coalesce(sum(CASE WHEN n > (SELECT m FROM mb)
+        |    THEN n END), 0) AS BIGINT) AS dropped_rows
+        | FROM g""".stripMargin,
+    // in-bucket pair + cosine re-derivation from the engine's own dumped
+    // sign-sketch rows; cosine uses the q_cosine_exact formula (explicit
+    // left-to-right list_sum) rounded to 6 dp on both sides
+    "q_embedding_neardup" ->
+      s"""WITH s AS (SELECT id, vec, norm, bucket
+        |   FROM read_parquet('${OracleDump.glob("emb_sigs")}')),
+        | keep AS (SELECT bucket FROM s GROUP BY 1 HAVING count(*) >= 2),
+        | m AS (SELECT s.* FROM s JOIN keep USING (bucket)),
+        | p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |   list_sum(list_transform(range(1, len(a.vec) + 1),
+        |     i -> a.vec[i] * b.vec[i])) / (a.norm * b.norm) AS cos
+        |  FROM m a JOIN m b ON a.bucket = b.bucket AND a.id < b.id)
+        | SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
+        | WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     // candidate re-derivation from the engine's own dumped band rows
     // (bucket on (band, band_hash), all in-bucket pairs) + exact-Jaccard
     // re-verification with the same shingle SQL q_jaccard_exact proves

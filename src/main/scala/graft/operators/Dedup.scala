@@ -287,6 +287,14 @@ object Dedup {
     bucketStatsOf(minhashBandRows(df, textCol, idCol, k, bands, shingleN),
       Seq("band", "band_hash"), maxBucket)
 
+  /** [[minhashBucketStats]] over an externally-supplied band-row frame —
+    * the dumped-table seam that lets `q_lsh_bucket_stats` describe the
+    * exact bucketing `q_minhash_pairs` ran with, against a DuckDB twin
+    * recomputing the same stats from the same parquet. */
+  private[graft] def minhashBucketStatsFromBands(bandRows: DataFrame,
+                         maxBucket: Int): DataFrame =
+    bucketStatsOf(bandRows, Seq("band", "band_hash"), maxBucket)
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum of +1/-1 across
     * token hashes, sign gives the bit. Pure higher-order expressions —
     * one LongType column, no UDF. */
@@ -510,7 +518,7 @@ object Dedup {
     * hyperplane LSH (sign sketch of `planes` pseudo-random hyperplanes,
     * derived deterministically from xxhash64 — no RNG state to ship).
     * Sketch + norm are the native codegen'd vector expressions. */
-  private[operators] def embeddingSigRows(df: DataFrame, vecCol: String,
+  private[graft] def embeddingSigRows(df: DataFrame, vecCol: String,
                                idCol: String, planes: Int): DataFrame = {
     import graft.expressions.VectorOps
     parallelize(df.select(col(idCol).as("id"),
@@ -529,9 +537,19 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String = "embedding",
                        idCol: String = "vec_id", planes: Int = 16,
                        threshold: Double = 0.99,
-                       maxBucket: Int = 1000): DataFrame = {
-    val sigRows = embeddingSigRows(df, vecCol, idCol, planes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                       maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupFromSigs(embeddingSigRows(df, vecCol, idCol, planes),
+      threshold, maxBucket)
+
+  /** [[embeddingNearDup]]'s bucketing + in-pair cosine over an
+    * externally-supplied `(id, vec, norm, bucket)` frame — the seam that
+    * lets `q_embedding_neardup` run against a DUMPED sig table its
+    * DuckDB oracle re-derives pairs from (same-rows contract as the
+    * simhash/minhash dumps). */
+  private[graft] def embeddingNearDupFromSigs(sigRows0: DataFrame,
+                       threshold: Double,
+                       maxBucket: Int): DataFrame = {
+    val sigRows = sigRows0.persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = owned(boundedBucketMembers(sigRows, Seq("bucket"),
         struct(col("id"), col("norm"), col("vec")), maxBucket)
       .select(bucketPairs(col("members"), (x, y) => struct(
