@@ -121,6 +121,7 @@ object Bench {
         SparkEntry.simhashSigTable(spark, sfDir).count()
         SparkEntry.minhashBandTable(spark, sfDir).count()
         SparkEntry.embSigTable(spark, sfDir).count()
+        SparkEntry.adpcmRefTable(spark, sfDir).count()
       } catch { case _: Throwable => -1L }
     }
 

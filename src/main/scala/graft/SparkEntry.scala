@@ -194,6 +194,24 @@ object SparkEntry {
         .toDF("doc_id", "lang", "n_bpe")
     }
 
+  /** Per-doc IMA ADPCM features computed by the INDEPENDENT reference
+    * decoder ([[graft.tools.AdpcmReference]]: ByteBuffer parsing,
+    * immutable fold state, whole-file materialize-then-measure — nothing
+    * shared with the streaming production kernel but the published
+    * spec), dumped once per JVM for the q_audio_adpcm oracle. */
+  private[graft] def adpcmRefTable(s: SparkSession, dir: String): DataFrame =
+    OracleDump.table(s, "adpcm_ref") {
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val f = graft.tools.AdpcmReference
+            .features(graft.expressions.AudioOps.synthWavAdpcm(id)).get
+          (id, f.nFrames, f.durationMs, f.peak, f.rms, f.silenceRatio)
+        }
+        .toDF("doc_id", "n_frames", "duration_ms", "peak", "rms",
+          "silence_ratio")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- WCMP2 constraint suite (fixture-seeded; ScalaTest-golden) ------
     "wcmp_violations" -> ((s, _) =>
@@ -718,6 +736,25 @@ object SparkEntry {
           round(col("f.rms"), 6).as("rms"),
           round(col("f.silence_ratio"), 6).as("silence_ratio"))
         .orderBy("doc_id")),
+    // IMA ADPCM (the most common COMPRESSED WAV codec): adaptive coding
+    // has no closed form, so the oracle is the structurally independent
+    // tools.AdpcmReference decode of the SAME bytes, dumped to parquet
+    // (the BpeReference pattern) — DuckDB compares engine vs reference
+    // per document; the nibble arithmetic itself is pinned by
+    // hand-derived golden vectors in AudioSpec
+    "q_audio_adpcm" -> ((s, dir) => {
+      adpcmRefTable(s, dir) // force the dump the oracle SQL reads
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.expressions.AudioOps.audioFeatures(
+            graft.expressions.AudioOps.synthWavAdpcm(col("doc_id"))).as("f"))
+        .select(col("doc_id"),
+          col("f.n_frames").as("n_frames"),
+          col("f.duration_ms").as("duration_ms"),
+          round(col("f.peak"), 6).as("peak"),
+          round(col("f.rms"), 6).as("rms"),
+          round(col("f.silence_ratio"), 6).as("silence_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // ---- corpus curation: deterministic sampling, caps, funnel ----------
     // stratified hash sample: per-lang keep rates decided by an md5-hex
@@ -1780,6 +1817,16 @@ object SparkEntry {
         |  ROUND(s / CAST(n AS DOUBLE), 6) AS silence_ratio
         | FROM p ORDER BY doc_id""".stripMargin,
     // codec closed forms (see AudioOps.synthWavCodec): fmt cycles
+    // engine ADPCM decode vs the independent AdpcmReference decode of
+    // the SAME bytes (adaptive coding has no closed form): DuckDB just
+    // compares the two dumped/computed feature sets per document
+    "q_audio_adpcm" ->
+      s"""SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  ROUND(peak, 6) AS peak, ROUND(rms, 6) AS rms,
+        |  ROUND(silence_ratio, 6) AS silence_ratio
+        | FROM read_parquet('${OracleDump.glob("adpcm_ref")}')
+        | ORDER BY doc_id""".stripMargin,
     // µ-law / A-law / float32; for G.711 the active square wave is the
     // direct 7-bit magnitude code m, so the oracle's "decode" IS the
     // ITU-T G.711 expansion formula; A-law silence is the real codec

@@ -40,9 +40,14 @@ import org.apache.spark.sql.types._
   *    row.
   *  - G.711 A-law / µ-law (wFormatTag=6/7, ITU-T G.711, the classic
   *    g711.c expansion): 8-bit log codes expanded to 16-bit linear
-  *    (A-law magnitudes ≤ 32256, µ-law ≤ 32124), full scale 32768 —
-  *    the FIRST genuinely lossy codec decoded for real; the remaining
-  *    stub surface is transform codecs (MP3/AAC/opus).
+  *    (A-law magnitudes ≤ 32256, µ-law ≤ 32124), full scale 32768.
+  *  - IMA/DVI ADPCM (wFormatTag=0x11, the most common COMPRESSED WAV
+  *    codec): per-block per-channel header state + 4-bit adaptive
+  *    nibbles through the standard 89-entry step table
+  *    ([[adpcmFeatures]]); oracle = the structurally independent
+  *    [[graft.tools.AdpcmReference]] (adaptive coding has no closed
+  *    form) + hand-derived golden vectors. The remaining stub surface
+  *    is transform codecs (MP3/AAC/opus).
   *  - WAVE_FORMAT_EXTENSIBLE (0xFFFE): unwrapped via the SubFormat
   *    GUID (KSDATAFORMAT_SUBTYPE base) to any of the above; the
   *    container bit depth is used as the sample depth (wValidBits
@@ -100,6 +105,40 @@ object AudioOps {
       i += 1
     }
     out
+  }
+
+  // ---- IMA/DVI ADPCM (wFormatTag 0x11): the standard 89-entry step
+  // table and 8-entry index-adjust table from the IMA ADPCM reference
+  // algorithm (Interactive Multimedia Association, 1992; also Microsoft
+  // WAVE format docs for the block layout) ----
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: apply 4-bit `nibble` to the
+    * `(predictor, stepIndex)` state packed as `(pred << 8) | index`
+    * (both clamped per spec). Shared by the production decoder and the
+    * encoder (which must track the decoder's reconstruction). */
+  private[graft] def imaStep(state: Int, nibble: Int): Int = {
+    var pred = state >> 8 // arithmetic: keeps the sign
+    val index = state & 0xFF
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    pred = if ((nibble & 8) != 0) pred - diff else pred + diff
+    if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+    var ni = index + ImaIndexTable(nibble & 7)
+    if (ni < 0) ni = 0 else if (ni > 88) ni = 88
+    (pred << 8) | ni
   }
 
   /** G.711 µ-law code byte -> 16-bit linear sample (ITU-T G.711 /
@@ -275,6 +314,7 @@ object AudioOps {
     var fmtOk = false
     var fmtCode = 0
     var channels = 0; var rate = 0L; var bits = 0
+    var fmtBlockAlign = 0
     var dataAt = -1; var dataLen = 0L
     var i = 12
     var guard = 0
@@ -285,6 +325,7 @@ object AudioOps {
         var audioFormat = leU16(i + 8)
         channels = leU16(i + 10)
         rate = leU32(i + 12)
+        fmtBlockAlign = leU16(i + 20)
         bits = leU16(i + 22)
         if (audioFormat == 0xFFFE && size >= 40 && i + 8 + 40 <= n) {
           // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat
@@ -303,6 +344,10 @@ object AudioOps {
           case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32
           case 3 => bits == 32 || bits == 64
           case 6 | 7 => bits == 8
+          // IMA ADPCM: 4-bit nibbles, per-channel 4-byte block headers
+          // followed by whole 4-byte-per-channel nibble groups
+          case 0x11 => bits == 4 && fmtBlockAlign > 4 * channels &&
+            (fmtBlockAlign - 4 * channels) % (4 * channels) == 0
           case _ => false
         })
       } else if (tag(i, "data") && dataAt < 0) {
@@ -313,6 +358,10 @@ object AudioOps {
       i = if (next >= n) n else next.toInt
     }
     if (!fmtOk || dataAt < 0) return null
+    if (fmtCode == 0x11)
+      return adpcmFeatures(b, dataAt,
+        math.min(math.min(dataLen, (n - dataAt).toLong), MaxPcm.toLong),
+        channels, rate, fmtBlockAlign)
 
     val bytesPer = bits / 8
     val blockAlign = channels * bytesPer
@@ -381,6 +430,197 @@ object AudioOps {
         if (frames == 0) 0.0 else silentFrames.toDouble / frames)))
   }
 
+  /** IMA ADPCM (wFormatTag 0x11) feature walk: per block and channel, a
+    * 4-byte header `(s16le predictor, u8 stepIndex, u8 reserved)` seeds
+    * the state and IS the block's first output sample; nibble data
+    * follows in 4-byte-per-channel groups (8 nibbles each, low nibble
+    * first), channels interleaved group-wise. Only whole blocks decode
+    * (a truncated trailing block is dropped, the same tolerance as the
+    * PCM path's partial-frame drop). Output scale is the 16-bit linear
+    * 32768, like G.711. */
+  private def adpcmFeatures(b: Array[Byte], dataAt: Int, avail: Long,
+                            channels: Int, rate: Long,
+                            blockAlign: Int): InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    val groups = (blockAlign - 4 * channels) / (4 * channels)
+    val samplesPerBlock = groups * 8 + 1
+    val blocks = (avail / blockAlign).toInt
+    val frames = blocks.toLong * samplesPerBlock
+    val silenceAbs = 32768.0 * SilenceFrac
+    // per-channel decoded block buffer, reused across blocks
+    val buf = Array.ofDim[Int](channels, samplesPerBlock)
+    var peakAbs = 0.0
+    var sumSq = 0.0
+    var silentFrames = 0L
+    var blk = 0
+    while (blk < blocks) {
+      val base = dataAt + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        val h = base + 4 * c
+        val pred = ((u8(h) | (u8(h + 1) << 8)) << 16) >> 16 // s16le
+        var idx = u8(h + 2)
+        if (idx > 88) idx = 88 // corrupt header index: clamp, don't walk off
+        var state = (pred << 8) | idx
+        buf(c)(0) = pred
+        val dataBase = base + 4 * channels
+        var g = 0
+        while (g < groups) {
+          val at = dataBase + (g * channels + c) * 4
+          var k = 0
+          while (k < 4) {
+            val byte = u8(at + k)
+            state = imaStep(state, byte & 0xF)
+            buf(c)(1 + g * 8 + k * 2) = state >> 8
+            state = imaStep(state, byte >> 4)
+            buf(c)(1 + g * 8 + k * 2 + 1) = state >> 8
+            k += 1
+          }
+          g += 1
+        }
+        c += 1
+      }
+      var f = 0
+      while (f < samplesPerBlock) {
+        var frameSilent = true
+        var c2 = 0
+        while (c2 < channels) {
+          val x = buf(c2)(f).toDouble
+          val ax = math.abs(x)
+          if (ax > peakAbs) peakAbs = ax
+          if (ax >= silenceAbs) frameSilent = false
+          sumSq += x * x
+          c2 += 1
+        }
+        if (frameSilent) silentFrames += 1
+        f += 1
+      }
+      blk += 1
+    }
+    new GenericInternalRow(Array[Any](
+      java.lang.Long.valueOf(frames),
+      java.lang.Long.valueOf(frames * 1000L / rate),
+      java.lang.Double.valueOf(peakAbs / 32768.0),
+      java.lang.Double.valueOf(
+        if (frames == 0) 0.0
+        else math.sqrt(sumSq / (frames * channels).toDouble) / 32768.0),
+      java.lang.Double.valueOf(
+        if (frames == 0) 0.0 else silentFrames.toDouble / frames)))
+  }
+
+  /** IMA ADPCM WAV ENCODER: channel-interleaved 16-bit `samples` ->
+    * wFormatTag 0x11 bytes with `groups` 4-byte nibble groups per
+    * channel per block (the standard quantize-against-reconstruction
+    * loop, state threaded through [[imaStep]] so encoder and decoder
+    * reconstructions agree exactly). The final partial block is padded
+    * by repeating the last sample. Standard extended fmt chunk
+    * (cbSize=2, wSamplesPerBlock). */
+  def encodeWavAdpcm(samples: Array[Int], channels: Int, rate: Int,
+                     groups: Int = 8): Array[Byte] = {
+    require(channels > 0 && rate > 0 && groups > 0)
+    require(samples.length % channels == 0, "partial final frame")
+    val samplesPerBlock = groups * 8 + 1
+    val totalFrames = samples.length / channels
+    val blocks = math.max(1, (totalFrames + samplesPerBlock - 1) /
+      samplesPerBlock)
+    val blockAlign = 4 * channels + groups * 4 * channels
+    val dataSize = blocks * blockAlign
+    val out = new Array[Byte](12 + 8 + 20 + 8 + dataSize)
+    def tagW(i: Int, s: String): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    tagW(0, "RIFF"); le32(4, out.length - 8); tagW(8, "WAVE")
+    tagW(12, "fmt "); le32(16, 20)
+    le16(20, 0x11); le16(22, channels); le32(24, rate)
+    le32(28, rate * blockAlign / samplesPerBlock) // nominal avg rate
+    le16(32, blockAlign); le16(34, 4)
+    le16(36, 2); le16(38, samplesPerBlock) // cbSize, wSamplesPerBlock
+    tagW(40, "data"); le32(44, dataSize)
+
+    def sampleAt(f: Int, c: Int): Int = {
+      val ff = math.min(f, totalFrames - 1) // pad: repeat last frame
+      if (ff < 0) 0 else samples(ff * channels + c)
+    }
+    val state = new Array[Int](channels)
+    var blk = 0
+    while (blk < blocks) {
+      val base = 48 + blk * blockAlign
+      val f0 = blk * samplesPerBlock
+      var c = 0
+      while (c < channels) {
+        val first = sampleAt(f0, c)
+        // header: predictor = the block's first sample, carried index
+        val idx = state(c) & 0xFF
+        le16(base + 4 * c, first & 0xFFFF)
+        out(base + 4 * c + 2) = idx.toByte
+        out(base + 4 * c + 3) = 0
+        state(c) = (first << 8) | idx
+        val dataBase = base + 4 * channels
+        var g = 0
+        while (g < groups) {
+          val at = dataBase + (g * channels + c) * 4
+          var k = 0
+          while (k < 8) {
+            val target = sampleAt(f0 + 1 + g * 8 + k, c)
+            // quantize against the current reconstruction state
+            val pred = state(c) >> 8
+            val step = ImaStepTable(state(c) & 0xFF)
+            var diff = target - pred
+            var nib = 0
+            if (diff < 0) { nib = 8; diff = -diff }
+            if (diff >= step) { nib |= 4; diff -= step }
+            if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+            if (diff >= (step >> 2)) nib |= 1
+            state(c) = imaStep(state(c), nib)
+            if ((k & 1) == 0) out(at + k / 2) = nib.toByte
+            else out(at + k / 2) = (out(at + k / 2) | (nib << 4)).toByte
+            k += 1
+          }
+          g += 1
+        }
+        c += 1
+      }
+      blk += 1
+    }
+    out
+  }
+
+  /** Deterministic ADPCM-coverage WAV from `seed`: `1 + seed mod 2`
+    * channels at 8000 Hz, the [[synthWav]] n/s frame grammar, and a
+    * per-channel square wave (amplitude `1000 + (seed mod 7) * 4000`,
+    * right channel half amplitude) after the silent prefix — adaptive
+    * coding has no closed form, so the oracle is the structurally
+    * independent [[graft.tools.AdpcmReference]] decode of the SAME
+    * bytes (the BpeReference pattern). */
+  def synthWavAdpcm(seed: Long): Array[Byte] = {
+    def m(k: Long): Int = java.lang.Math.floorMod(seed, k).toInt
+    val channels = 1 + m(2)
+    val n = 400 + m(5) * 100
+    val s = m(100)
+    val a = 1000 + m(7) * 4000
+    val samples = new Array[Int](n * channels)
+    var f = s
+    while (f < n) {
+      var c = 0
+      while (c < channels) {
+        val amp = if (c == 0) a else a / 2
+        samples(f * channels + c) =
+          if (((f - s) / 4) % 2 == 0) amp else -amp
+        c += 1
+      }
+      f += 1
+    }
+    encodeWavAdpcm(samples, channels, 8000)
+  }
+
   /** Deterministic codec-coverage WAV from `seed`: mono 8000 Hz, the
     * same n/s frame grammar as [[synthWav]] (`n = 400 + (seed mod 5) *
     * 100` frames, `s = seed mod 100` silent prefix), but the sample
@@ -447,10 +687,35 @@ object AudioOps {
     import org.apache.spark.sql.graft.shims
     shims.column(SynthWavCodec(shims.expression(seed)))
   }
+  def synthWavAdpcm(seed: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(SynthWavAdpcm(shims.expression(seed)))
+  }
   def audioFeatures(media: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(AudioFeatures(shims.expression(media)))
   }
+}
+
+/** (seed long) -> deterministic IMA ADPCM WAV bytes (see
+  * [[AudioOps.synthWavAdpcm]]). Codegen'd; never null. */
+case class SynthWavAdpcm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.DataTypeMismatch(
+      errorSubClass = "UNEXPECTED_INPUT_TYPE",
+      messageParameters = Map("paramIndex" -> "1",
+        "requiredType" -> "\"BIGINT\"",
+        "inputSql" -> child.sql, "inputType" -> child.dataType.sql))
+  override def nullSafeEval(seed: Any): Any =
+    AudioOps.synthWavAdpcm(seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode) =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expressions.AudioOps.synthWavAdpcm($s)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "synth_wav_adpcm"
 }
 
 /** seed long -> WAV bytes (codegen'd; never null). */

@@ -208,6 +208,72 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("IMA ADPCM hand-derived golden block: nibble-by-nibble decode " +
+       "traced by hand from the IMA reference algorithm") {
+    // mono, one block, one 4-byte group: header (pred=0, idx=0) + the
+    // nibble stream [7,3,8,15,0,1,2,4] (low nibble first per byte).
+    // Hand trace: idx0 step7: n7 -> +11; idx8 step16: n3 -> +14 (25);
+    // idx7 step14: n8 -> -1 (24); idx6 step13: n15 -> -23 (1);
+    // idx14 step28: n0 -> +3 (4); idx13 step25: n1 -> +9 (13);
+    // idx12 step23: n2 -> +13 (26); idx11 step21: n4 -> +23 (49).
+    val expectSamples = Vector(0, 11, 25, 24, 1, 4, 13, 26, 49)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); le32(48); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(20)
+    le16(0x11); le16(1); le32(8000); le32(4000); le16(8); le16(4)
+    le16(2); le16(9) // cbSize, wSamplesPerBlock
+    out.write("data".getBytes); le32(8)
+    out.write(Array[Byte](0, 0, 0, 0)) // header: pred 0, idx 0, reserved
+    out.write(Array(0x37, 0xF8, 0x10, 0x42).map(_.toByte)) // the nibbles
+    val wav = out.toByteArray
+
+    // the independent reference decodes EXACTLY the hand-derived samples
+    val (samples, ch, rate) = graft.tools.AdpcmReference
+      .decodeSamples(wav).get
+    assert(ch == 1 && rate == 8000L)
+    assert(samples == expectSamples, s"reference decoded $samples")
+
+    // the production kernel's features equal those computed from the
+    // hand-derived samples
+    val f = feat(wav)
+    assert(f != null && f.getLong(0) == 9 && f.getLong(1) == 9000 / 8000)
+    assert(f.getDouble(2) == 49.0 / 32768.0, "peak")
+    val sumSq = expectSamples.map(s => s.toDouble * s).sum
+    assert(f.getDouble(3) == math.sqrt(sumSq / 9) / 32768.0, "rms")
+    assert(f.getDouble(4) == 1.0, "all samples under the silence threshold")
+  }
+
+  test("IMA ADPCM: production kernel and the structurally independent " +
+       "AdpcmReference agree bit-for-bit on every synthWavAdpcm seed " +
+       "class (mono and stereo), and the encoder's block headers carry " +
+       "the original samples") {
+    for (seed <- 0L until 70L) {
+      val wav = AudioOps.synthWavAdpcm(seed)
+      val f = feat(wav)
+      val r = graft.tools.AdpcmReference.features(wav).get
+      assert(f != null, s"seed=$seed")
+      assert(f.getLong(0) == r.nFrames && f.getLong(1) == r.durationMs &&
+        f.getDouble(2) == r.peak && f.getDouble(3) == r.rms &&
+        f.getDouble(4) == r.silenceRatio, s"seed=$seed")
+    }
+    // stereo interleave sanity: right channel is half amplitude by
+    // construction, so the reference's per-channel decode must show a
+    // 2:1 peak ratio between channels (block-header samples are exact)
+    val (samples, ch, _) = graft.tools.AdpcmReference
+      .decodeSamples(AudioOps.synthWavAdpcm(1L)).get // seed 1: stereo
+    assert(ch == 2)
+    val left = samples.indices.collect { case i if i % 2 == 0 => samples(i) }
+    val right = samples.indices.collect { case i if i % 2 == 1 => samples(i) }
+    assert(left.map(math.abs).max > 1.9 * right.map(math.abs).max)
+
+    // truncated/corrupt ADPCM: null, never a throw
+    val wav = AudioOps.synthWavAdpcm(3L)
+    assert(feat(wav.take(40)) == null)
+    for (cut <- Seq(50, wav.length / 2)) feat(wav.take(cut))
+  }
+
   test("the audioFeatures expression evaluates identically interpreted " +
        "and codegen'd, over synthWav as a column") {
     val df = spark.range(0, 64).select(

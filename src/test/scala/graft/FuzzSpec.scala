@@ -159,7 +159,9 @@ class FuzzSpec extends AnyFunSuite {
       graft.expressions.AudioOps.synthWavCodec(19L),
       graft.expressions.AudioOps.synthWavCodec(20L),
       graft.expressions.AudioOps.wrapExtensible(
-        graft.expressions.AudioOps.synthWavCodec(20L)))
+        graft.expressions.AudioOps.synthWavCodec(20L)),
+      graft.expressions.AudioOps.synthWavAdpcm(21L), // stereo ADPCM
+      graft.expressions.AudioOps.synthWavAdpcm(22L)) // mono ADPCM
     def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       for {
         pos <- Gen.choose(0, valid.length - 1)
