@@ -356,40 +356,60 @@ object Dedup {
   }
 
   /** Hamming-pigeonhole near-dup pairing over a signature frame
-    * `(id, sig)`: chunk explode (chunk count derived from `maxHamming`
-    * so recall is guaranteed for any maxHamming <= 63, see
-    * [[hammingChunks]]), bounded buckets, in-bucket pair explode
-    * with exact Hamming computed inside the pair lambda, verified against
-    * `maxHamming`. Same single-scan / cache-lifecycle shape as
-    * [[minhashLsh]]. */
-  private[graft] def hammingDedup(sigRows: DataFrame, maxHamming: Int,
+    * `(id, sig)`, duplication-proof: identical sigs collapse first
+    * (within-group pairs via output-sized equi-join), the chunk explode
+    * (chunk count derived from `maxHamming` so recall is guaranteed for
+    * any maxHamming <= 63, [[hammingChunks]]) and bounded-bucket pair
+    * explode run over DISTINCT signatures only, and the surviving sig
+    * pairs expand back to member pairs through two more output-sized
+    * joins. Exact Hamming verified inside the pair lambda. Same
+    * cache-lifecycle shape as [[minhashLsh]]. */
+  private[graft] def hammingDedup(sigRows0: DataFrame, maxHamming: Int,
                            maxBucket: Int): DataFrame = {
-    val chunkRows = hammingChunkRows(sigRows, hammingChunks(maxHamming))
+    val sigRows = sigRows0.persist(StorageLevel.MEMORY_AND_DISK)
+    // Identical signatures collapse BEFORE the pigeonhole. Mass
+    // duplication — the common case in web corpora, and exactly what a
+    // near-dup corpus looks like — would otherwise park every member of
+    // a duplicate cluster in every chunk bucket, making the in-bucket
+    // explode quadratic in CLUSTER size (measured: 25 s at sf0.1 vs
+    // 2 s with the collapse; at 100 TB it is the difference between
+    // output-sized work and a job that never finishes). Within-group
+    // pairs come from an output-sized equi-join on the signature — no
+    // aggregation buffer ever holds a cluster — and the chunk machinery
+    // only ever sees DISTINCT signatures, so `maxBucket` bounds
+    // distinct-signature density, not duplication.
+    val within = sigRows.select(col("id").as("id_a"), col("sig"))
+      .join(sigRows.select(col("id").as("id_b"), col("sig")), "sig")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val distinctSigs = sigRows.select(col("sig")).distinct()
+    val chunkRows = hammingChunkRows(
+        distinctSigs.select(col("sig").as("id"), col("sig")),
+        hammingChunks(maxHamming))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = owned(boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
-        struct(col("id"), col("sig")), maxBucket)
+    // pair DISTINCT signatures (two distinct sigs always have
+    // hamming >= 1, so these are disjoint from `within` by construction)
+    val sigPairs = boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
+        col("sig"), maxBucket)
       .select(bucketPairs(col("members"), (x, y) => struct(
-        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-        hamming(x.getField("sig"), y.getField("sig")).as("hamming"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .where(col("hamming") <= maxHamming))
-    // materialize so the chunk-row cache can be freed (finally: a failed
-    // job must not strand the non-registry-owned intermediate)
-    try pairs.count() finally chunkRows.unpersist()
+        x.as("sig_a"), y.as("sig_b"), hamming(x, y).as("hamming"))).as("p"))
+      .select(col("p.sig_a"), col("p.sig_b"), col("p.hamming"))
+      .dropDuplicates("sig_a", "sig_b")
+      .where(col("hamming") <= maxHamming)
+    // expand sig pairs to member pairs: two output-sized equi-joins
+    val cross = sigPairs
+      .join(sigRows.select(col("id").as("ia"), col("sig").as("sig_a")),
+        "sig_a")
+      .join(sigRows.select(col("id").as("ib"), col("sig").as("sig_b")),
+        "sig_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val pairs = owned(within.unionAll(cross))
+    // materialize so the caches can be freed (finally: a failed job must
+    // not strand the non-registry-owned intermediates)
+    try pairs.count() finally { chunkRows.unpersist(); sigRows.unpersist() }
     pairs
   }
-
-  /** The simhash chunk-row frame `(id, sig, chunk, chunk_val)` — the
-    * native codegen'd SimHash64 expression (bit-identical to [[simhash64]],
-    * the interpreted higher-order-function reference implementation). */
-  private[operators] def simhashChunkRows(df: DataFrame, textCol: String,
-                               idCol: String, chunks: Int = 4): DataFrame =
-    hammingChunkRows(
-      parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
-        .select(col("id"),
-          graft.expressions.SimHash64.simhash64(col("text")).as("sig")),
-      chunks)
 
   /** SimHash near-dup: docs are candidates when any of the
     * maxHamming+1 pigeonhole chunks of their simhash match — full
@@ -437,9 +457,12 @@ object Dedup {
                        idCol: String = "doc_id",
                        maxHamming: Int = 0, maxBucket: Int = 200): DataFrame =
     bucketStatsOf(hammingChunkRows(
-      df.select(col(idCol).as("id"),
-        graft.expressions.ImageOps.imageDHash(col(mediaCol)).as("sig"))
-        .where(col("sig").isNotNull), hammingChunks(maxHamming)),
+      df.select(
+          graft.expressions.ImageOps.imageDHash(col(mediaCol)).as("sig"))
+        .where(col("sig").isNotNull)
+        .distinct() // buckets hold DISTINCT sigs, like the pairing
+        .select(col("sig").as("id"), col("sig")),
+      hammingChunks(maxHamming)),
       Seq("chunk", "chunk_val"), maxBucket)
 
   /** [[simhashDedup]]'s bucket-cap diagnostics (one row); pass the SAME
@@ -447,8 +470,12 @@ object Dedup {
   def simhashBucketStats(df: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
                          maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
-    bucketStatsOf(
-      simhashChunkRows(df, textCol, idCol, hammingChunks(maxHamming)),
+    bucketStatsOf(hammingChunkRows(
+      parallelize(df.select(col(textCol).as("text")))
+        .select(graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
+        .distinct() // buckets hold DISTINCT sigs, like the pairing
+        .select(col("sig").as("id"), col("sig")),
+      hammingChunks(maxHamming)),
       Seq("chunk", "chunk_val"), maxBucket)
 
   /** Exact pairwise n-gram Jaccard for a (small) candidate pair table:
