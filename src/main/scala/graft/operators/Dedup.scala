@@ -167,6 +167,16 @@ object Dedup {
       .where(col("bucket_n").between(2, maxBucket))
       .select(keyCols: _*)
     rows.join(kept, keys)
+      // explicit-N repartition on the bucket keys: AQE sizes the
+      // aggregate's exchange by the (small) member BYTES, but the
+      // downstream cost is the QUADRATIC in-bucket pair explode —
+      // size-based coalescing would serialize that explode onto one
+      // task (measured at sf0.1: 125 s single-task vs ~2 s wide). A
+      // user repartition with explicit numPartitions is exempt from AQE
+      // coalescing, and the groupBy below reuses its hash partitioning,
+      // so this costs no extra exchange.
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        keyCols: _*)
       .groupBy(keyCols: _*)
       .agg(sort_array(collect_list(member)).as("members"))
   }
@@ -388,14 +398,28 @@ object Dedup {
         hammingChunks(maxHamming))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // pair DISTINCT signatures (two distinct sigs always have
-    // hamming >= 1, so these are disjoint from `within` by construction)
-    val sigPairs = boundedBucketMembers(chunkRows, Seq("chunk", "chunk_val"),
-        col("sig"), maxBucket)
-      .select(bucketPairs(col("members"), (x, y) => struct(
-        x.as("sig_a"), y.as("sig_b"), hamming(x, y).as("hamming"))).as("p"))
-      .select(col("p.sig_a"), col("p.sig_b"), col("p.hamming"))
-      .dropDuplicates("sig_a", "sig_b")
+    // hamming >= 1, so these are disjoint from `within` by construction).
+    // JOIN-shaped, not collect_list+explode: a low-entropy chunk can put
+    // thousands of distinct sigs in one bucket (measured at sf0.1: max
+    // bucket 2,054 sigs = 2M pairs), and the collect shape materializes
+    // that bucket's whole pair array in ONE row on ONE task. The
+    // self-equi-join on the bucket key streams the same cross product
+    // and AQE's skew-join splits a hot key across tasks.
+    val keys = Seq("chunk", "chunk_val")
+    val kept = chunkRows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+      .select(keys.map(col): _*)
+    val keptRows = chunkRows.join(kept, keys)
+    val sigPairs = keptRows.select(col("chunk"), col("chunk_val"),
+        col("sig").as("sig_a"))
+      .join(keptRows.select(col("chunk"), col("chunk_val"),
+        col("sig").as("sig_b")), keys)
+      .where(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("sig_a", "sig_b")
     // expand sig pairs to member pairs: two output-sized equi-joins
     val cross = sigPairs
       .join(sigRows.select(col("id").as("ia"), col("sig").as("sig_a")),
