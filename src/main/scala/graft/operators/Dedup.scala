@@ -159,7 +159,7 @@ object Dedup {
     * [2, maxBucket]; joining it back (cache read, AQE-skew-splittable SMJ)
     * and collecting members per kept bucket bounds every aggregation
     * buffer at maxBucket elements. */
-  private[operators] def boundedBucketMembers(rows: DataFrame, keys: Seq[String],
+  private[graft] def boundedBucketMembers(rows: DataFrame, keys: Seq[String],
                                    member: Column, maxBucket: Int): DataFrame = {
     val keyCols = keys.map(col)
     val kept = rows.groupBy(keyCols: _*)

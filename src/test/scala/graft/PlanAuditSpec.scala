@@ -158,4 +158,27 @@ class PlanAuditSpec extends SparkSpec {
            ann.contains("BroadcastHashJoin"), ann)
     assert(!ann.contains("CartesianProduct"), ann)
   }
+
+  test("bucket-member aggregation pins its partitioning with an " +
+       "explicit-N repartition — the AQE byte-based-coalescing guard " +
+       "that keeps the quadratic pair explode parallel — and the " +
+       "groupBy reuses that exchange instead of adding its own") {
+    // the round-5 pathology this pins: AQE sized the members exchange by
+    // its (small) bytes and coalesced the downstream in-bucket pair
+    // explode onto ONE task (125 s vs ~2 s at sf0.1, stack-sampled)
+    val rows = spark.range(0, 1000).select(
+      (col("id") % 7).as("chunk"), (col("id") % 50).as("chunk_val"),
+      col("id").as("sig"))
+    val members = graft.operators.Dedup.boundedBucketMembers(
+      rows, Seq("chunk", "chunk_val"), col("sig"), 100)
+    val p = formatted(members)
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"explicit-N repartition missing (AQE may coalesce the explode):\n$p")
+    // exactly 2 exchanges: the bucket-count aggregate's, and the pinned
+    // repartition the final collect_list aggregate rides (the kept-keys
+    // join broadcasts). A third exchange = the groupBy stopped reusing
+    // the pinned partitioning.
+    assert(shuffleCount(members) == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
