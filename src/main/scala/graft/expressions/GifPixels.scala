@@ -28,13 +28,16 @@ import org.apache.spark.sql.types.DataType
   * caps before allocation, bounds-checked sub-block walk, corrupt LZW
   * streams (bad codes, early EOF) return null, never throw.
   *
-  * Declared subset, in addition to first-frame/palette scope:
-  * TRANSPARENCY IS OUT OF SCOPE — a GCE transparent-color index decodes
-  * to its palette color (no alpha channel exists in the shared raster
-  * struct), so a logically identical image saved as a transparent GIF
-  * vs a flattened PNG/BMP can hash differently. Corpora that mix
-  * transparent GIFs with flattened twins should treat GIF rows as a
-  * separate near-dup domain or pre-flatten them.
+  * Transparency handling, in addition to first-frame/palette scope:
+  * a GCE transparent-color index is FLATTENED onto the stream's own
+  * declared background entry (the Logical Screen Descriptor's
+  * background index; entry 0 when that index is out of table) — the
+  * self-contained render a decoder with no page context performs, and
+  * the same entry the out-of-frame-rectangle fill already uses. Alpha
+  * compositing against an EXTERNAL background is out of scope (no
+  * alpha channel exists in the shared raster struct): a transparent
+  * GIF and a twin flattened onto some page color other than the GIF's
+  * own background can still hash differently.
   */
 case class GifPixels(child: Expression) extends MediaProbe {
   override def dataType: DataType = PngPixels.pixType
@@ -72,18 +75,23 @@ object GifPixels {
       globalTable = java.util.Arrays.copyOfRange(b, i, i + 3 * entries)
       i += 3 * entries
     }
-    // block walk to the first image descriptor
+    // block walk to the first image descriptor; a Graphic Control
+    // Extension (label 0xF9) on the way may declare a transparent index
+    var transIndex = -1
     var guard = 0
     while (i < n && guard < 65536) {
       guard += 1
       u8(i) match {
         case 0x3B => return null // trailer before any image
         case 0x21 => // extension: label byte then sub-blocks
+          // GCE layout: 0x21 0xF9 0x04 <flags> <delay u16le> <transIdx>
+          if (i + 6 < n && u8(i + 1) == 0xF9 && u8(i + 2) >= 4)
+            transIndex = if ((u8(i + 3) & 1) != 0) u8(i + 6) else -1
           i += 2
           while (i < n && u8(i) != 0) i += 1 + u8(i)
           i += 1
         case 0x2C =>
-          return decodeFrame(b, i, sw, sh, globalTable, bgIndex)
+          return decodeFrame(b, i, sw, sh, globalTable, bgIndex, transIndex)
         case _ => return null // corrupt block stream
       }
     }
@@ -92,7 +100,7 @@ object GifPixels {
 
   private def decodeFrame(b: Array[Byte], at: Int, sw: Int, sh: Int,
                           globalTable: Array[Byte],
-                          bgIndex: Int): InternalRow = {
+                          bgIndex: Int, transIndex: Int): InternalRow = {
     val n = b.length
     def u8(i: Int): Int = b(i) & 0xFF
     def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -159,7 +167,11 @@ object GifPixels {
       var x = 0
       while (x < fw) {
         val idxRaw = indices(r * fw + x) & 0xFF
-        val idx = if (idxRaw < colors) idxRaw else 0
+        val idx0 = if (idxRaw < colors) idxRaw else 0
+        // GCE transparency flattened onto the stream's OWN declared
+        // background entry — the self-contained render a decoder with
+        // no page context performs
+        val idx = if (idx0 == transIndex) bg else idx0
         val o = (y * sw + left + x) * 3
         raster(o) = table(idx * 3); raster(o + 1) = table(idx * 3 + 1)
         raster(o + 2) = table(idx * 3 + 2)

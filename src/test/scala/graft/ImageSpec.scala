@@ -487,6 +487,64 @@ class ImageSpec extends SparkSpec {
     assert(JpegPixels.pixels("not a jpeg at all".getBytes) == null)
   }
 
+  test("GIF transparency flattens onto the stream's own background " +
+       "entry, cross-checked against ImageIO's alpha channel") {
+    import graft.expressions.GifPixels
+    // three colors so encodeGif's first-seen palette order is known:
+    // red (idx 0), green (idx 1), blue (idx 2)
+    val w = 8; val h = 4
+    val rgb = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h) {
+      val c = p % 3 match {
+        case 0 => (255, 0, 0); case 1 => (0, 255, 0); case _ => (0, 0, 255)
+      }
+      rgb(p * 3) = c._1.toByte; rgb(p * 3 + 1) = c._2.toByte
+      rgb(p * 3 + 2) = c._3.toByte
+    }
+    val plain = GifPixels.encodeGif(rgb, w, h)
+    // splice: background index = 2 (blue) in the LSD, and a GCE marking
+    // index 1 (green) transparent, inserted before the image descriptor
+    val tableEnd = 13 + 3 * 4 // header+LSD + 4-entry global table
+    val withBg = java.util.Arrays.copyOfRange(plain, 0, tableEnd)
+    withBg(11) = 2 // LSD background color index -> blue
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(withBg)
+    out.write(Array(0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x01, 0x00)
+      .map(_.toByte)) // GCE: transparent flag set, transIdx = 1 (green)
+    out.write(plain, tableEnd, plain.length - tableEnd)
+    val transparent = out.toByteArray
+
+    val row = GifPixels.pixels(transparent)
+    assert(row != null && row.getInt(0) == w && row.getInt(1) == h)
+    val px = row.getBinary(3)
+    // ImageIO agrees on which pixels are transparent and on the rest
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(transparent))
+    assert(img != null)
+    for (p <- 0 until w * h) {
+      val (x, y) = (p % w, p / w)
+      val argb = img.getRGB(x, y)
+      val want: (Int, Int, Int) = p % 3 match {
+        case 1 => // green was transparent -> flattened to blue (the bg)
+          assert((argb >>> 24) == 0, s"ImageIO alpha at ($x,$y)")
+          (0, 0, 255)
+        case 0 =>
+          assert((argb >>> 24) == 255 && ((argb >> 16) & 0xFF) == 255)
+          (255, 0, 0)
+        case _ =>
+          assert((argb >>> 24) == 255 && (argb & 0xFF) == 255)
+          (0, 0, 255)
+      }
+      assert((px(p * 3) & 0xFF, px(p * 3 + 1) & 0xFF, px(p * 3 + 2) & 0xFF)
+        == want, s"pixel ($x,$y)")
+    }
+    // no GCE transparency flag -> palette colors decode unchanged
+    val rowPlain = GifPixels.pixels(plain)
+    for (p <- 0 until w * h)
+      assert((rowPlain.getBinary(3)(p * 3 + 1) & 0xFF) ==
+        (rgb(p * 3 + 1) & 0xFF), s"plain pixel $p")
+  }
+
   test("progressive JPEG (SOF2): the JDK writer's multi-scan successive-" +
        "approximation stream decodes within IDCT tolerance of both " +
        "ImageIO's decode and our sequential decode of the same image") {
