@@ -44,10 +44,15 @@ import org.apache.spark.sql.types._
   *  - IMA/DVI ADPCM (wFormatTag=0x11, the most common COMPRESSED WAV
   *    codec): per-block per-channel header state + 4-bit adaptive
   *    nibbles through the standard 89-entry step table
-  *    ([[adpcmFeatures]]); oracle = the structurally independent
-  *    [[graft.tools.AdpcmReference]] (adaptive coding has no closed
-  *    form) + hand-derived golden vectors. The remaining stub surface
-  *    is transform codecs (MP3/AAC/opus).
+  *    ([[adpcmFeatures]]).
+  *  - MS ADPCM (wFormatTag=0x0002): 7-byte-per-channel block headers
+  *    (predictor pair selection + delta + two seed samples), nibbles
+  *    HIGH-first cycling channels, predictor coefficients read from the
+  *    stream's own extended fmt. For both ADPCM codecs the oracle is
+  *    the structurally independent [[graft.tools.AdpcmReference]]
+  *    (adaptive coding has no closed form) + hand-derived golden
+  *    vectors. The remaining stub surface is transform codecs
+  *    (MP3/AAC/opus).
   *  - WAVE_FORMAT_EXTENSIBLE (0xFFFE): unwrapped via the SubFormat
   *    GUID (KSDATAFORMAT_SUBTYPE base) to any of the above; the
   *    container bit depth is used as the sample depth (wValidBits
@@ -139,6 +144,34 @@ object AudioOps {
     var ni = index + ImaIndexTable(nibble & 7)
     if (ni < 0) ni = 0 else if (ni > 88) ni = 88
     (pred << 8) | ni
+  }
+
+  // ---- MS ADPCM (wFormatTag 0x0002): the 7 standard predictor
+  // coefficient pairs and the 16-entry delta-adaptation table from the
+  // Microsoft WAVE format documentation ----
+  private[graft] val MsCoef1 = Array(256, 512, 0, 192, 240, 460, 392)
+  private[graft] val MsCoef2 = Array(0, -256, 0, 64, 0, -208, -232)
+  private[graft] val MsAdapt = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** One MS ADPCM decode step over mutable per-channel state arrays
+    * `(sample1, sample2, delta)` at index `c`, coefficients `(c1, c2)`.
+    * Arithmetic-shift convention (`>> 8`) for both the predictor and the
+    * delta adaptation — well-defined on negatives, used consistently by
+    * the encoder, the production decoder and the independent reference.
+    * Returns the decoded sample. */
+  private[graft] def msStep(s1: Array[Int], s2: Array[Int], d: Array[Int],
+                            c: Int, c1: Int, c2: Int, nibble: Int): Int = {
+    val signed = if (nibble >= 8) nibble - 16 else nibble
+    val pred = (s1(c) * c1 + s2(c) * c2) >> 8
+    var sample = pred + signed * d(c)
+    if (sample > 32767) sample = 32767
+    else if (sample < -32768) sample = -32768
+    s2(c) = s1(c); s1(c) = sample
+    d(c) = (MsAdapt(nibble) * d(c)) >> 8
+    if (d(c) < 16) d(c) = 16
+    sample
   }
 
   /** G.711 µ-law code byte -> 16-bit linear sample (ITU-T G.711 /
@@ -315,6 +348,7 @@ object AudioOps {
     var fmtCode = 0
     var channels = 0; var rate = 0L; var bits = 0
     var fmtBlockAlign = 0
+    var msCoef: (Array[Int], Array[Int]) = null // MS ADPCM pairs from fmt
     var dataAt = -1; var dataLen = 0L
     var i = 12
     var guard = 0
@@ -348,6 +382,31 @@ object AudioOps {
           // followed by whole 4-byte-per-channel nibble groups
           case 0x11 => bits == 4 && fmtBlockAlign > 4 * channels &&
             (fmtBlockAlign - 4 * channels) % (4 * channels) == 0
+          // MS ADPCM: 4-bit nibbles, 7-byte-per-channel block headers,
+          // predictor coefficient pairs carried in the extended fmt
+          // (cbSize >= 4 + 4*wNumCoef; layout: wSamplesPerBlock u16,
+          // wNumCoef u16, then wNumCoef (iCoef1, iCoef2) s16le pairs)
+          case 2 =>
+            var ok = bits == 4 && fmtBlockAlign > 7 * channels &&
+              (fmtBlockAlign - 7 * channels) * 2 % channels == 0 &&
+              size >= 22 && i + 8 + 22 <= n
+            if (ok) {
+              val numCoef = leU16(i + 28)
+              ok = numCoef >= 1 && numCoef <= 64 &&
+                size >= 22 + 4 * numCoef && i + 8 + 22 + 4 * numCoef <= n
+              if (ok) {
+                val c1 = new Array[Int](numCoef)
+                val c2 = new Array[Int](numCoef)
+                var k = 0
+                while (k < numCoef) {
+                  c1(k) = (leU16(i + 30 + 4 * k) << 16) >> 16 // s16
+                  c2(k) = (leU16(i + 32 + 4 * k) << 16) >> 16
+                  k += 1
+                }
+                msCoef = (c1, c2)
+              }
+            }
+            ok
           case _ => false
         })
       } else if (tag(i, "data") && dataAt < 0) {
@@ -362,6 +421,10 @@ object AudioOps {
       return adpcmFeatures(b, dataAt,
         math.min(math.min(dataLen, (n - dataAt).toLong), MaxPcm.toLong),
         channels, rate, fmtBlockAlign)
+    if (fmtCode == 2)
+      return msAdpcmFeatures(b, dataAt,
+        math.min(math.min(dataLen, (n - dataAt).toLong), MaxPcm.toLong),
+        channels, rate, fmtBlockAlign, msCoef._1, msCoef._2)
 
     val bytesPer = bits / 8
     val blockAlign = channels * bytesPer
@@ -508,6 +571,160 @@ object AudioOps {
         if (frames == 0) 0.0 else silentFrames.toDouble / frames)))
   }
 
+  /** MS ADPCM (wFormatTag 0x0002) feature walk: per block, per-channel
+    * headers `(u8 predictor index) x ch, (s16le delta) x ch,
+    * (s16le sample1) x ch, (s16le sample2) x ch` (7 bytes per channel);
+    * sample2 then sample1 are the block's first two output frames, and
+    * the nibble data follows HIGH nibble first, one nibble per sample,
+    * cycling channels frame-major. Predictor coefficients come from the
+    * stream's extended fmt (validated during the chunk walk). Output
+    * scale 32768. */
+  private def msAdpcmFeatures(b: Array[Byte], dataAt: Int, avail: Long,
+                              channels: Int, rate: Long, blockAlign: Int,
+                              coef1: Array[Int],
+                              coef2: Array[Int]): InternalRow = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def s16(i: Int): Int = ((u8(i) | (u8(i + 1) << 8)) << 16) >> 16
+    val dataBytes = blockAlign - 7 * channels
+    val framesPerBlock = dataBytes * 2 / channels + 2
+    val blocks = (avail / blockAlign).toInt
+    val frames = blocks.toLong * framesPerBlock
+    val silenceAbs = 32768.0 * SilenceFrac
+    val buf = Array.ofDim[Int](channels, framesPerBlock)
+    val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+    val dlt = new Array[Int](channels)
+    val pc1 = new Array[Int](channels); val pc2 = new Array[Int](channels)
+    var peakAbs = 0.0
+    var sumSq = 0.0
+    var silentFrames = 0L
+    var blk = 0
+    while (blk < blocks) {
+      val base = dataAt + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        val pi = u8(base + c)
+        if (pi >= coef1.length) return null // predictor past the table
+        pc1(c) = coef1(pi); pc2(c) = coef2(pi)
+        dlt(c) = s16(base + channels + 2 * c)
+        if (dlt(c) < 16) dlt(c) = 16
+        s1(c) = s16(base + 3 * channels + 2 * c)
+        s2(c) = s16(base + 5 * channels + 2 * c)
+        buf(c)(0) = s2(c); buf(c)(1) = s1(c)
+        c += 1
+      }
+      var k = 0 // nibble counter, frame-major across channels
+      val totalNibbles = dataBytes * 2
+      val nibBase = base + 7 * channels
+      while (k < totalNibbles) {
+        val byte = u8(nibBase + (k >> 1))
+        val nib = if ((k & 1) == 0) byte >> 4 else byte & 0xF // high first
+        val ch = k % channels
+        buf(ch)(2 + k / channels) =
+          msStep(s1, s2, dlt, ch, pc1(ch), pc2(ch), nib)
+        k += 1
+      }
+      var f = 0
+      while (f < framesPerBlock) {
+        var frameSilent = true
+        var c2 = 0
+        while (c2 < channels) {
+          val x = buf(c2)(f).toDouble
+          val ax = math.abs(x)
+          if (ax > peakAbs) peakAbs = ax
+          if (ax >= silenceAbs) frameSilent = false
+          sumSq += x * x
+          c2 += 1
+        }
+        if (frameSilent) silentFrames += 1
+        f += 1
+      }
+      blk += 1
+    }
+    new GenericInternalRow(Array[Any](
+      java.lang.Long.valueOf(frames),
+      java.lang.Long.valueOf(frames * 1000L / rate),
+      java.lang.Double.valueOf(peakAbs / 32768.0),
+      java.lang.Double.valueOf(
+        if (frames == 0) 0.0
+        else math.sqrt(sumSq / (frames * channels).toDouble) / 32768.0),
+      java.lang.Double.valueOf(
+        if (frames == 0) 0.0 else silentFrames.toDouble / frames)))
+  }
+
+  /** MS ADPCM WAV ENCODER: channel-interleaved 16-bit `samples` ->
+    * wFormatTag 0x0002 bytes, predictor pair 0 `(256, 0)`, the standard
+    * 7-pair table written into the extended fmt, `dataBytes` nibble
+    * bytes per block. Quantization tracks the decoder's reconstruction
+    * through [[msStep]] exactly; the final partial block repeats the
+    * last frame. */
+  def encodeWavMsAdpcm(samples: Array[Int], channels: Int, rate: Int,
+                       dataBytes: Int = 32): Array[Byte] = {
+    require(channels > 0 && rate > 0 && dataBytes > 0 &&
+      dataBytes * 2 % channels == 0)
+    require(samples.length % channels == 0, "partial final frame")
+    val framesPerBlock = dataBytes * 2 / channels + 2
+    val totalFrames = samples.length / channels
+    val blocks = math.max(1,
+      (totalFrames + framesPerBlock - 1) / framesPerBlock)
+    val blockAlign = 7 * channels + dataBytes
+    val numCoef = MsCoef1.length
+    val fmtBody = 22 + 4 * numCoef // 16 base + cbSize + cb payload
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val dataSize = blocks * blockAlign
+    out.write("RIFF".getBytes); le32(4 + 8 + fmtBody + 8 + dataSize)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(fmtBody)
+    le16(2); le16(channels); le32(rate)
+    le32(rate * blockAlign / framesPerBlock)
+    le16(blockAlign); le16(4)
+    le16(4 + 4 * numCoef) // cbSize
+    le16(framesPerBlock); le16(numCoef)
+    for (k <- 0 until numCoef) { le16(MsCoef1(k) & 0xFFFF); le16(MsCoef2(k) & 0xFFFF) }
+    out.write("data".getBytes); le32(dataSize)
+
+    def sampleAt(f: Int, c: Int): Int = {
+      val ff = math.min(f, totalFrames - 1)
+      if (ff < 0) 0 else samples(ff * channels + c)
+    }
+    val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+    val dlt = new Array[Int](channels)
+    var blk = 0
+    while (blk < blocks) {
+      val f0 = blk * framesPerBlock
+      var c = 0
+      while (c < channels) { out.write(0); c += 1 } // predictor 0
+      c = 0
+      while (c < channels) { le16(16); dlt(c) = 16; c += 1 }
+      c = 0
+      while (c < channels) {
+        s1(c) = sampleAt(f0 + 1, c); le16(s1(c) & 0xFFFF); c += 1
+      }
+      c = 0
+      while (c < channels) {
+        s2(c) = sampleAt(f0, c); le16(s2(c) & 0xFFFF); c += 1
+      }
+      var k = 0
+      val totalNibbles = dataBytes * 2
+      var pending = 0
+      while (k < totalNibbles) {
+        val ch = k % channels
+        val target = sampleAt(f0 + 2 + k / channels, ch)
+        val pred = (s1(ch) * MsCoef1(0) + s2(ch) * MsCoef2(0)) >> 8
+        var nib = Math.round((target - pred).toDouble / dlt(ch)).toInt
+        if (nib > 7) nib = 7 else if (nib < -8) nib = -8
+        val nu = nib & 0xF
+        msStep(s1, s2, dlt, ch, MsCoef1(0), MsCoef2(0), nu)
+        if ((k & 1) == 0) pending = nu << 4 // high nibble first
+        else out.write(pending | nu)
+        k += 1
+      }
+      blk += 1
+    }
+    out.toByteArray
+  }
+
   /** IMA ADPCM WAV ENCODER: channel-interleaved 16-bit `samples` ->
     * wFormatTag 0x11 bytes with `groups` 4-byte nibble groups per
     * channel per block (the standard quantize-against-reconstruction
@@ -596,10 +813,12 @@ object AudioOps {
   /** Deterministic ADPCM-coverage WAV from `seed`: `1 + seed mod 2`
     * channels at 8000 Hz, the [[synthWav]] n/s frame grammar, and a
     * per-channel square wave (amplitude `1000 + (seed mod 7) * 4000`,
-    * right channel half amplitude) after the silent prefix — adaptive
-    * coding has no closed form, so the oracle is the structurally
-    * independent [[graft.tools.AdpcmReference]] decode of the SAME
-    * bytes (the BpeReference pattern). */
+    * right channel half amplitude) after the silent prefix. The CODEC
+    * alternates with `(seed / 2) mod 2`: IMA (0x11) or MS (0x0002), so
+    * all four channel x codec combinations appear across seeds.
+    * Adaptive coding has no closed form, so the oracle is the
+    * structurally independent [[graft.tools.AdpcmReference]] decode of
+    * the SAME bytes (the BpeReference pattern). */
   def synthWavAdpcm(seed: Long): Array[Byte] = {
     def m(k: Long): Int = java.lang.Math.floorMod(seed, k).toInt
     val channels = 1 + m(2)
@@ -618,7 +837,10 @@ object AudioOps {
       }
       f += 1
     }
-    encodeWavAdpcm(samples, channels, 8000)
+    if (java.lang.Math.floorMod(seed / 2, 2) == 0)
+      encodeWavAdpcm(samples, channels, 8000)
+    else encodeWavMsAdpcm(samples, channels, 8000,
+      dataBytes = 32 * channels)
   }
 
   /** Deterministic codec-coverage WAV from `seed`: mono 8000 Hz, the

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * raster pipeline ([[featurizeImage]], dHash near-dup) — plus WAV
   * samples ([[audioFeatures]]: RIFF walk + per-frame peak/rms/silence
   * over integer PCM 8/16/24/32, IEEE-float 32/64, G.711 A-law/µ-law,
-  * IMA ADPCM, plain or WAVE_FORMAT_EXTENSIBLE framing).
+  * IMA and MS ADPCM, plain or WAVE_FORMAT_EXTENSIBLE framing).
   * What remains a STUB (`decodeStub`/[[featurizeStub]]) is TRANSFORM
   * AUDIO codecs (MP3/AAC/opus) and VIDEO-FRAME decode (and the
   * arithmetic-coded/hierarchical JPEG modes outside JpegPixels'

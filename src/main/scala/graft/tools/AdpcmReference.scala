@@ -51,8 +51,26 @@ object AdpcmReference {
   final case class Features(nFrames: Long, durationMs: Long, peak: Double,
                             rms: Double, silenceRatio: Double)
 
+  /** MS ADPCM per-channel decode state (immutable, folded):
+    * `(sample1, sample2, delta)` with the fixed `(c1, c2)` pair. The
+    * `>> 8` convention matches the production kernel's documented
+    * choice. */
+  final case class MsState(s1: Int, s2: Int, delta: Int, c1: Int, c2: Int) {
+    def step(nibble: Int): MsState = {
+      val signed = if (nibble >= 8) nibble - 16 else nibble
+      val pred = (s1 * c1 + s2 * c2) >> 8
+      val sample = math.max(-32768, math.min(32767, pred + signed * delta))
+      val d = math.max(16, (AdaptMs(nibble) * delta) >> 8)
+      MsState(sample, s1, d, c1, c2)
+    }
+  }
+  private val AdaptMs = Vector(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
   /** WAV bytes -> channel-interleaved decoded samples, or None when the
-    * file is not a well-formed IMA ADPCM WAV this reference accepts. */
+    * file is not a well-formed IMA or MS ADPCM WAV this reference
+    * accepts. */
   def decodeSamples(wav: Array[Byte]): Option[(Vector[Int], Int, Long)] = {
     if (wav.length < 12) return None
     val bb = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
@@ -60,7 +78,8 @@ object AdpcmReference {
       new String(wav.slice(at, at + 4), "US-ASCII")
     if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
 
-    var fmt: Option[(Int, Long, Int)] = None // (channels, rate, blockAlign)
+    // (tag, channels, rate, blockAlign, coefficient pairs for MS)
+    var fmt: Option[(Int, Int, Long, Int, Vector[(Int, Int)])] = None
     var data: Option[(Int, Int)] = None // (offset, length)
     var at = 12
     while (at + 8 <= wav.length) {
@@ -73,7 +92,19 @@ object AdpcmReference {
         val align = bb.getShort(at + 20) & 0xFFFF
         val bits = bb.getShort(at + 22) & 0xFFFF
         if (tag == 0x11 && bits == 4 && ch > 0 && rate > 0)
-          fmt = Some((ch, rate, align))
+          fmt = Some((tag, ch, rate, align, Vector.empty))
+        else if (tag == 0x02 && bits == 4 && ch > 0 && rate > 0 &&
+                 size >= 22 && at + 8 + 22 <= wav.length) {
+          val numCoef = bb.getShort(at + 28) & 0xFFFF
+          if (numCoef >= 1 && size >= 22 + 4 * numCoef &&
+              at + 8 + 22 + 4 * numCoef <= wav.length) {
+            val pairs = (0 until numCoef).toVector.map { k =>
+              (bb.getShort(at + 30 + 4 * k).toInt,
+                bb.getShort(at + 32 + 4 * k).toInt)
+            }
+            fmt = Some((tag, ch, rate, align, pairs))
+          }
+        }
       } else if (id == "data" && data.isEmpty) {
         data = Some((at + 8,
           math.min(size, (wav.length - at - 8).toLong).toInt))
@@ -81,37 +112,91 @@ object AdpcmReference {
       val next = at.toLong + 8 + size + (size & 1)
       at = if (next > Int.MaxValue) wav.length else next.toInt
     }
-    for {
-      (channels, rate, blockAlign) <- fmt
-      (dataAt, dataLen) <- data
-      if blockAlign > 4 * channels &&
-        (blockAlign - 4 * channels) % (4 * channels) == 0
-    } yield {
-      val groups = (blockAlign - 4 * channels) / (4 * channels)
-      val blocks = dataLen / blockAlign
-      val perChannel: Vector[Vector[Vector[Int]]] = // block -> channel -> samples
-        (0 until blocks).toVector.map { blk =>
-          val base = dataAt + blk * blockAlign
-          (0 until channels).toVector.map { c =>
-            val pred = bb.getShort(base + 4 * c).toInt
-            val idx = math.min(88, wav(base + 4 * c + 2) & 0xFF)
-            val nibbles = (0 until groups).toVector.flatMap { g =>
-              val gAt = base + 4 * channels + (g * channels + c) * 4
-              (0 until 4).flatMap { k =>
-                val v = wav(gAt + k) & 0xFF
-                Seq(v & 0xF, v >> 4)
-              }
-            }
-            val states = nibbles.scanLeft(State(pred, idx))(_.step(_))
-            states.map(_.pred) // head = header sample, then one per nibble
-          }
-        }
-      val interleaved = perChannel.flatMap { chans =>
-        val frames = chans.head.length
-        (0 until frames).toVector.flatMap(f => chans.map(_(f)))
+    fmt.flatMap { case (tag, channels, rate, blockAlign, pairs) =>
+      data.flatMap { case (dataAt, dataLen) =>
+        if (tag == 0x11) decodeIma(wav, bb, channels, rate, blockAlign,
+          dataAt, dataLen)
+        else decodeMs(wav, bb, channels, rate, blockAlign, pairs,
+          dataAt, dataLen)
       }
-      (interleaved, channels, rate)
     }
+  }
+
+  private def decodeIma(wav: Array[Byte], bb: ByteBuffer, channels: Int,
+                        rate: Long, blockAlign: Int, dataAt: Int,
+                        dataLen: Int): Option[(Vector[Int], Int, Long)] = {
+    if (!(blockAlign > 4 * channels &&
+          (blockAlign - 4 * channels) % (4 * channels) == 0)) return None
+    val groups = (blockAlign - 4 * channels) / (4 * channels)
+    val blocks = dataLen / blockAlign
+    val perChannel: Vector[Vector[Vector[Int]]] = // block -> channel -> samples
+      (0 until blocks).toVector.map { blk =>
+        val base = dataAt + blk * blockAlign
+        (0 until channels).toVector.map { c =>
+          val pred = bb.getShort(base + 4 * c).toInt
+          val idx = math.min(88, wav(base + 4 * c + 2) & 0xFF)
+          val nibbles = (0 until groups).toVector.flatMap { g =>
+            val gAt = base + 4 * channels + (g * channels + c) * 4
+            (0 until 4).flatMap { k =>
+              val v = wav(gAt + k) & 0xFF
+              Seq(v & 0xF, v >> 4)
+            }
+          }
+          val states = nibbles.scanLeft(State(pred, idx))(_.step(_))
+          states.map(_.pred) // head = header sample, then one per nibble
+        }
+      }
+    val interleaved = perChannel.flatMap { chans =>
+      val frames = chans.head.length
+      (0 until frames).toVector.flatMap(f => chans.map(_(f)))
+    }
+    Some((interleaved, channels, rate))
+  }
+
+  private def decodeMs(wav: Array[Byte], bb: ByteBuffer, channels: Int,
+                       rate: Long, blockAlign: Int,
+                       pairs: Vector[(Int, Int)], dataAt: Int,
+                       dataLen: Int): Option[(Vector[Int], Int, Long)] = {
+    if (blockAlign <= 7 * channels || pairs.isEmpty) return None
+    val dataBytes = blockAlign - 7 * channels
+    if (dataBytes * 2 % channels != 0) return None
+    val blocks = dataLen / blockAlign
+    val perBlock: Vector[Option[Vector[Int]]] =
+      (0 until blocks).toVector.map { blk =>
+        val base = dataAt + blk * blockAlign
+        val preds = (0 until channels).toVector.map(c => wav(base + c) & 0xFF)
+        if (preds.exists(_ >= pairs.length)) None
+        else {
+          val init = (0 until channels).toVector.map { c =>
+            val (c1, c2) = pairs(preds(c))
+            MsState(
+              s1 = bb.getShort(base + 3 * channels + 2 * c).toInt,
+              s2 = bb.getShort(base + 5 * channels + 2 * c).toInt,
+              delta = math.max(16,
+                bb.getShort(base + channels + 2 * c).toInt),
+              c1, c2)
+          }
+          val nibbles = (0 until dataBytes).toVector.flatMap { k =>
+            val v = wav(base + 7 * channels + k) & 0xFF
+            Seq(v >> 4, v & 0xF) // HIGH nibble first
+          }
+          // fold the nibble stream frame-major across channels
+          val (finalStates, decoded) =
+            nibbles.zipWithIndex.foldLeft((init, Vector.empty[Int])) {
+              case ((st, outAcc), (nib, k)) =>
+                val c = k % channels
+                val ns = st(c).step(nib)
+                (st.updated(c, ns), outAcc :+ ns.s1)
+            }
+          val _ = finalStates
+          // first two frames per channel are sample2 then sample1
+          val head = (0 until channels).toVector.map(c => init(c).s2) ++
+            (0 until channels).toVector.map(c => init(c).s1)
+          Some(head ++ decoded)
+        }
+      }
+    if (perBlock.exists(_.isEmpty)) None
+    else Some((perBlock.flatMap(_.get), channels, rate))
   }
 
   /** WAV bytes -> the engine's feature tuple, computed over the flat

@@ -245,10 +245,51 @@ class AudioSpec extends SparkSpec {
     assert(f.getDouble(4) == 1.0, "all samples under the silence threshold")
   }
 
-  test("IMA ADPCM: production kernel and the structurally independent " +
-       "AdpcmReference agree bit-for-bit on every synthWavAdpcm seed " +
-       "class (mono and stereo), and the encoder's block headers carry " +
-       "the original samples") {
+  test("MS ADPCM hand-derived golden block: nibble-by-nibble decode " +
+       "traced by hand from the Microsoft WAVE documentation") {
+    // mono, one block, blockAlign 9 (7-byte header + 2 nibble bytes).
+    // Header: predictor 0 -> coef (256, 0); delta 16; sample1 100,
+    // sample2 50. Nibbles HIGH-first [1, 15, 8, 7]:
+    //  n1:  pred (100*256)>>8 = 100; +1*16  -> 116; delta 230*16>>8=14->16
+    //  n15: pred 116;           -1*16  -> 100; delta 16
+    //  n8:  pred 100;           -8*16  -> -28; delta 768*16>>8 = 48
+    //  n7:  pred -28;           +7*48  -> 308; delta 614*48>>8 = 115
+    val expect = Vector(50, 100, 116, 100, -28, 308)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); le32(4 + 8 + 50 + 8 + 9)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(50)
+    le16(2); le16(1); le32(8000); le32(4000); le16(9); le16(4)
+    le16(32); le16(6); le16(7) // cbSize, wSamplesPerBlock, wNumCoef
+    for (k <- 0 until 7) {
+      le16(graft.expressions.AudioOps.MsCoef1(k) & 0xFFFF)
+      le16(graft.expressions.AudioOps.MsCoef2(k) & 0xFFFF)
+    }
+    out.write("data".getBytes); le32(9)
+    out.write(0) // predictor index 0
+    le16(16); le16(100); le16(50) // delta, sample1, sample2
+    out.write((1 << 4) | 15); out.write((8 << 4) | 7) // nibbles high-first
+    val wav = out.toByteArray
+
+    val (samples, ch, rate) = graft.tools.AdpcmReference
+      .decodeSamples(wav).get
+    assert(ch == 1 && rate == 8000L)
+    assert(samples == expect, s"reference decoded $samples")
+
+    val f = feat(wav)
+    assert(f != null && f.getLong(0) == 6)
+    assert(f.getDouble(2) == 308.0 / 32768.0, "peak")
+    val sumSq = expect.map(s => s.toDouble * s).sum
+    assert(f.getDouble(3) == math.sqrt(sumSq / 6) / 32768.0, "rms")
+    assert(f.getDouble(4) == 1.0, "all under the 327.68 silence threshold")
+  }
+
+  test("IMA + MS ADPCM: production kernel and the structurally " +
+       "independent AdpcmReference agree bit-for-bit on every " +
+       "synthWavAdpcm seed class (mono/stereo x IMA/MS), and the " +
+       "encoder's block headers carry the original samples") {
     for (seed <- 0L until 70L) {
       val wav = AudioOps.synthWavAdpcm(seed)
       val f = feat(wav)
@@ -258,11 +299,15 @@ class AudioSpec extends SparkSpec {
         f.getDouble(2) == r.peak && f.getDouble(3) == r.rms &&
         f.getDouble(4) == r.silenceRatio, s"seed=$seed")
     }
+    // the codec really alternates: seed/2 even -> IMA (0x11), odd -> MS
+    def tagOf(wav: Array[Byte]): Int = (wav(20) & 0xFF) | ((wav(21) & 0xFF) << 8)
+    assert(tagOf(AudioOps.synthWavAdpcm(0L)) == 0x11)
+    assert(tagOf(AudioOps.synthWavAdpcm(2L)) == 0x02)
     // stereo interleave sanity: right channel is half amplitude by
     // construction, so the reference's per-channel decode must show a
     // 2:1 peak ratio between channels (block-header samples are exact)
     val (samples, ch, _) = graft.tools.AdpcmReference
-      .decodeSamples(AudioOps.synthWavAdpcm(1L)).get // seed 1: stereo
+      .decodeSamples(AudioOps.synthWavAdpcm(1L)).get // seed 1: stereo IMA
     assert(ch == 2)
     val left = samples.indices.collect { case i if i % 2 == 0 => samples(i) }
     val right = samples.indices.collect { case i if i % 2 == 1 => samples(i) }

@@ -160,8 +160,10 @@ class FuzzSpec extends AnyFunSuite {
       graft.expressions.AudioOps.synthWavCodec(20L),
       graft.expressions.AudioOps.wrapExtensible(
         graft.expressions.AudioOps.synthWavCodec(20L)),
-      graft.expressions.AudioOps.synthWavAdpcm(21L), // stereo ADPCM
-      graft.expressions.AudioOps.synthWavAdpcm(22L)) // mono ADPCM
+      graft.expressions.AudioOps.synthWavAdpcm(20L), // IMA mono
+      graft.expressions.AudioOps.synthWavAdpcm(21L), // IMA stereo
+      graft.expressions.AudioOps.synthWavAdpcm(22L), // MS mono
+      graft.expressions.AudioOps.synthWavAdpcm(23L)) // MS stereo
     def mutations(valid: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       for {
         pos <- Gen.choose(0, valid.length - 1)
