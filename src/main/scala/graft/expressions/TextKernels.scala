@@ -25,15 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** pyspellchecker `split_words` tokenizer (`/root/reference/pywcmp/
-    * util.py:45-59` via `SpellChecker.unknown`): `\w[\w']*\w|\w` Unicode,
-    * over the lowercased text. */
-  private val tokenRe = Pattern.compile("(?U)\\w[\\w']*\\w|\\w")
-
   /** float-parseable per Python `float()` — such tokens are never
     * spell-checked (pyspellchecker `_check_if_should_check`). Shares the
     * declarative impl's pattern (Python grammar: underscores only between
-    * digits; inf/infinity/nan literals). */
+    * digits; inf/infinity/nan literals). Retained as the slow-path oracle
+    * for [[floatLikeToken]]; the hot path never runs it (r6: regex
+    * machinery was ~2/3 of this kernel's samples). */
   private val floatRe =
     Pattern.compile(graft.functions.Wcmp2Functions.floatLike)
 
@@ -43,45 +40,143 @@ object TextKernels {
     s
   }
 
+  /** `(?U)\w` per java.util.regex with UNICODE_CHARACTER_CLASS:
+    * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}
+    * \p{IsJoin_Control}] — the exact class the tokenizer regex used;
+    * parity pinned against the regex in FunctionsSpec. */
+  private[graft] def isWordCp(cp: Int): Boolean = {
+    if (cp < 128) // ASCII fast path: [0-9A-Za-z_]
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9') || cp == '_'
+    else {
+      val t = Character.getType(cp)
+      Character.isAlphabetic(cp) || Character.isDigit(cp) ||
+        t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.CONNECTOR_PUNCTUATION ||
+        cp == 0x200C || cp == 0x200D // join controls ZWNJ/ZWJ
+    }
+  }
+
+  /** Exact-match equivalent of [[graft.functions.Wcmp2Functions.floatLike]]
+    * RESTRICTED to tokenizer output: tokens contain only word chars and
+    * apostrophes (never '+', '-' or '.'), and the text is lowercased, so
+    * the only reachable float forms are `inf`, `infinity`, `nan` and
+    * `digits(_digits)*(e digits(_digits)*)?` over ASCII digits (the
+    * pattern's digit class is ASCII [0-9]; '.', sign and uppercase-E arms
+    * are unreachable). Parity vs the regex pinned in FunctionsSpec over
+    * the full token space. */
+  private[graft] def floatLikeToken(s: String): Boolean = {
+    val n = s.length
+    if (n == 0) return false
+    val c0 = s.charAt(0)
+    if (c0 == 'i' || c0 == 'n')
+      return s == "inf" || s == "infinity" || s == "nan"
+    if (c0 < '0' || c0 > '9') return false
+    // digits with single embedded underscores, one optional 'e' exponent
+    var i = 1
+    var sawExp = false
+    var lastDigit = true // charAt(0) is a digit
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') lastDigit = true
+      else if (c == '_') {
+        // underscore only BETWEEN digits
+        if (!lastDigit || i + 1 >= n) return false
+        val nx = s.charAt(i + 1)
+        if (nx < '0' || nx > '9') return false
+        lastDigit = false
+      } else if (c == 'e') {
+        if (sawExp || !lastDigit || i + 1 >= n) return false
+        val nx = s.charAt(i + 1)
+        if (nx < '0' || nx > '9') return false
+        sawExp = true; lastDigit = false
+      } else return false
+      i += 1
+    }
+    lastDigit
+  }
+
   /** `SpellChecker.unknown(split_words(text))` preserving encounter order
     * and duplicates — the token list the declarative
-    * `filter(spellTokens(text), ...)` chain produces. */
+    * `filter(spellTokens(text), ...)` chain produces. Hand-rolled
+    * codepoint scanner equivalent to `(?U)\w[\w']*\w|\w` (a maximal run
+    * of word-or-apostrophe chars starting at a word char, with trailing
+    * apostrophes trimmed; the regex backtracks to exactly that, and
+    * resumes after the match — the trimmed trailing apostrophes cannot
+    * start a new match, so scanning resumes after the run). The previous
+    * java.util.regex form was the #2 hot-path cost in the r6 stack
+    * profile (~45 of 560 active executor samples). Dictionary membership
+    * is tested BEFORE float-likeness (same conjunction, cheaper order:
+    * most real-text tokens are dictionary hits). */
   def misspelledTokens(text: UTF8String): GenericArrayData = {
     // Lower.eval == UTF8String.toLowerCase (ASCII fast path, JVM
     // default-locale lowering otherwise) — match it exactly
     val lowered = text.toLowerCase.toString
-    val m = tokenRe.matcher(lowered)
+    val n = lowered.length
     val out = new ArrayBuffer[Any](0)
-    while (m.find()) {
-      val tok = m.group(0)
-      if (!floatRe.matcher(tok).find() && !dictionary.contains(tok))
-        out += UTF8String.fromString(tok)
+    var i = 0
+    while (i < n) {
+      val cp = lowered.codePointAt(i)
+      if (isWordCp(cp)) {
+        val start = i
+        i += Character.charCount(cp)
+        var lastWordEnd = i // exclusive end of the last word char seen
+        var scanning = true
+        while (scanning && i < n) {
+          val c = lowered.codePointAt(i)
+          if (isWordCp(c)) { i += Character.charCount(c); lastWordEnd = i }
+          else if (c == '\'') i += 1
+          else scanning = false
+        }
+        val tok = lowered.substring(start, lastWordEnd)
+        if (!dictionary.contains(tok) && !floatLikeToken(tok))
+          out += UTF8String.fromString(tok)
+      } else i += Character.charCount(cp)
     }
     new GenericArrayData(out.toArray)
   }
 
   private val acronymRe = Pattern.compile("\\b([A-Z]{2,}\\d*)\\b")
-  private val leadWs = Pattern.compile("^\\s+")
-  private val trailWs = Pattern.compile("\\s+$")
-  private val wsRun = Pattern.compile("\\s+")
 
-  private def pyStrip(s: String): String =
-    trailWs.matcher(leadWs.matcher(s).replaceAll("")).replaceAll("")
+  /** java.util.regex `\s` WITHOUT (?U): [ \t\n\x0B\f\r] exactly (the
+    * declarative impl's regexes use plain \s) — NOT Character
+    * .isWhitespace, which also matches U+001C-1F and Unicode spaces. */
+  private def isWsCh(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // \t \n \x0B \f \r
+
+  /** `^\s+` / `\s+$` strip without regex (same \s class). */
+  private def pyStrip(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && isWsCh(s.charAt(a))) a += 1
+    while (b > a && isWsCh(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
 
   /** struct(words, stripped) for the K1 title checks: `title.split()`
     * (Python no-arg split: strip, split on whitespace runs, no empties)
     * and the acronym-stripped title
-    * (`pyStrip(regexp_replace(title, acronymRe, ""))`). */
+    * (`pyStrip(regexp_replace(title, acronymRe, ""))`). The ws-run
+    * splitter is a char scan (r6: the regex split/strip machinery showed
+    * in the hot-path samples); \s-class parity with the declarative
+    * reference impl is pinned in FunctionsSpec. */
   def titleWords(title: UTF8String): InternalRow = {
     val s = title.toString
     val stripped0 = pyStrip(s)
-    val words: Array[Any] =
-      if (stripped0.isEmpty) Array.empty
-      else wsRun.split(stripped0).filter(_.nonEmpty)
-        .map(w => UTF8String.fromString(w)).toArray[Any]
+    val words = new ArrayBuffer[Any](8)
+    var i = 0
+    val n = stripped0.length
+    while (i < n) {
+      if (isWsCh(stripped0.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !isWsCh(stripped0.charAt(i))) i += 1
+        words += UTF8String.fromString(stripped0.substring(start, i))
+      }
+    }
     val strippedAcr = pyStrip(acronymRe.matcher(s).replaceAll(""))
     val a = new Array[Any](2)
-    a(0) = new GenericArrayData(words)
+    a(0) = new GenericArrayData(words.toArray)
     a(1) = UTF8String.fromString(strippedAcr)
     new GenericInternalRow(a)
   }

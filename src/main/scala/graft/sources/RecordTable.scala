@@ -74,9 +74,6 @@ object RecordTable {
       else spark.sparkContext.defaultParallelism * 4
     val base = spark.range(0, n, 1, parts).toDF("i")
 
-    def rep(c: org.apache.spark.sql.Column, s: String, r: org.apache.spark.sql.Column) =
-      call_function("replace", c, lit(s), r)
-
     val bucket = pmod(col("i"), lit(20))
     val idLine = "urn:wmo:md:ca-eccc-msc:weather.observations.swob-realtime"
     // unique local identifier per row (bucket 15 re-inserts a space)
@@ -86,16 +83,38 @@ object RecordTable {
         .otherwise("urn:wmo:md:ca-eccc-msc:"),
       when(bucket === 15, concat(lit("obs r"), col("i"))).otherwise(localId))
 
-    val content0 = rep(lit(template), idLine, newId)
-    val content1 = when(bucket === 16,
-        rep(content0, "\"created\": \"2018-01-01T11:11:11Z\"",
-          lit("\"created\": \"None\"")))
-      .when(bucket === 17, rep(content0, "-142,", lit("-242,")))
-      .when(bucket === 18,
-        regexp_replace(content0, ",\\s*\"wmo:dataPolicy\": \"core\"", ""))
-      .when(bucket === 19, rep(content0, "\"rel\": \"data\",",
-        lit("\"rel\": \"download\",")))
-      .otherwise(content0)
+    // Per-bucket template mutation PRECOMPUTED once at plan-build time:
+    // the original formulation ran `replace(template, idLine, newId)` plus
+    // a bucket-conditional replace/regexp_replace per ROW — a linear scan
+    // and full copy of the ~5 KB template (plus regex machinery for the
+    // data-policy removal), measured as the top hot-path frame
+    // (UTF8String.find ~17% of executor samples, r6 stack profile). The
+    // bucket mutations touch only constant template text (never the id
+    // line, and the substituted id can never contain their patterns), so
+    // mutation and id substitution commute: mutate the TEMPLATE once here,
+    // split it at the id line once here, and emit a 3-way concat
+    // (prefix ++ newId ++ suffix) per row — one memcopy, zero searching.
+    // Byte-identity with the replace() formulation is pinned by
+    // RecordTableSpec ("synthesize: precomputed-template parity").
+    def splitAtId(t: String): (String, String) = {
+      val at = t.indexOf(idLine)
+      require(at >= 0 && t.indexOf(idLine, at + 1) < 0,
+        "template must contain the id line exactly once")
+      (t.substring(0, at), t.substring(at + idLine.length))
+    }
+    val variants: Map[Int, (String, String)] = Map(
+      16 -> template.replace("\"created\": \"2018-01-01T11:11:11Z\"",
+        "\"created\": \"None\""),
+      17 -> template.replace("-142,", "-242,"),
+      18 -> template.replaceAll(",\\s*\"wmo:dataPolicy\": \"core\"", ""),
+      19 -> template.replace("\"rel\": \"data\",", "\"rel\": \"download\",")
+    ).map { case (b, t) => b -> splitAtId(t) }
+    val (basePre, baseSuf) = splitAtId(template)
+    def part(sel: ((String, String)) => String) =
+      variants.toSeq.sortBy(_._1).foldLeft(lit(sel((basePre, baseSuf)))) {
+        case (acc, (b, ps)) => when(bucket === b, lit(sel(ps))).otherwise(acc)
+      }
+    val content1 = concat(part(_._1), newId, part(_._2))
 
     val lang = when(pmod(col("i"), lit(10)) < 7, "en")
       .when(pmod(col("i"), lit(10)) === 7, "fr")
