@@ -190,10 +190,13 @@ object EtsRules {
            concat(lit("invalid link relation "), rel))
         .when(href.startsWith("mqtt") && channel.isNull,
               "missing channel for Pub/Sub link")
+        // native split-once walk; Dims.validTopicChannel is the
+        // declarative reference impl (parity: OptimizationParitySpec)
         .when(href.startsWith("mqtt") &&
                 (channel.startsWith("origin/a/wis2") ||
                  channel.startsWith("cache/a/wis2")) &&
-                !Dims.validTopicChannel(channel),
+                !graft.expressions.TopicChannelValid
+                  .topicChannelValid(channel),
               "Invalid WIS2 topic for Pub/Sub link channel")
         .when(badSecurityKey.isNotNull,
               concat(lit("missing security description for "), badSecurityKey))

@@ -109,7 +109,12 @@ object KpiRules {
   private def commentIf(bad: Column, msg: Column): Column =
     when(coalesce(bad, lit(false)), msg)
 
-  /** kpi_title — Good quality title, total 8 (`kpi.py:82-163`). */
+  /** kpi_title — Good quality title, total 8 (`kpi.py:82-163`).
+    * The four scalar title facts (all-alnum words, sentence case, acronym
+    * count, bulletin header) read the pre-materialized TitleWords kernel
+    * fields when the Validator provides them — the declarative
+    * formulations below are the reference impls (r6 parity:
+    * OptimizationParitySpec) and the fallback for direct catalog use. */
   def title(r: RecordCols): KpiRule = {
     val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
     val bulletinRe = "[A-Z]{4}\\d{2}[\\s_]*[A-Z]{4}"
@@ -118,25 +123,28 @@ object KpiRules {
     val stripped = r.preOr("title_stripped",
       F.pyStrip(regexp_replace(t, acronymRe, "")))
     val misspelled = r.titleMisspelled
+    val allAlnum = r.preOr("title_all_alnum", forall(words, F.pyIsAlnum))
+    val capOk = r.preOr("title_cap_ok",
+      F.pyCapitalize(stripped) === stripped)
+    val nAcronyms = r.preOr("title_n_acronyms",
+      size(regexp_extract_all(t, lit(acronymRe), lit(1))))
+    val hasBulletin = coalesce(
+      r.preOr("title_has_bulletin", t.rlike(bulletinRe)), lit(false))
     val p1 = point(t.isNotNull) // 'Title is present' (kpi.py:102-103)
     val p2 = point(size(words) >= 3)
     val p3 = point(length(t) <= 150)
-    val p4 = point(forall(words, F.pyIsAlnum))
-    val p5 = point(F.pyCapitalize(stripped) === stripped)
-    val p6 = point(size(regexp_extract_all(t, lit(acronymRe), lit(1))) <= 3)
+    val p4 = point(allAlnum)
+    val p5 = point(capOk)
+    val p6 = point(nAcronyms <= 3)
     // bulletin header: +1 if absent, −1 (not 0) if present (kpi.py:147-153)
-    val hasBulletin = coalesce(t.rlike(bulletinRe), lit(false))
     val p7 = when(hasBulletin, -1).otherwise(1)
     val p8 = point(size(misspelled) === 0)
     val comments = array_compact(array(
       commentIf(size(words) < 3, lit("Title has less than 3 words")),
       commentIf(length(t) > 150, lit("Title has more than 150 characters")),
-      commentIf(!forall(words, F.pyIsAlnum),
-                lit("Title contains non-printable characters")),
-      commentIf(F.pyCapitalize(stripped) =!= stripped,
-                lit("Title is not sentence case")),
-      commentIf(size(regexp_extract_all(t, lit(acronymRe), lit(1))) > 3,
-                lit("Title has more than 3 acronyms")),
+      commentIf(!allAlnum, lit("Title contains non-printable characters")),
+      commentIf(!capOk, lit("Title is not sentence case")),
+      commentIf(nAcronyms > 3, lit("Title has more than 3 acronyms")),
       commentIf(hasBulletin, lit("Title contains bulletin header")),
       commentIf(size(misspelled) > 0,
         concat(lit("Title contains spelling errors "),

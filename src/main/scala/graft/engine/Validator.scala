@@ -81,6 +81,10 @@ object Validator {
       pre = Map(
         "title_words" -> col("_k.title_kernel.words"),
         "title_stripped" -> col("_k.title_kernel.stripped"),
+        "title_all_alnum" -> col("_k.title_kernel.all_alnum"),
+        "title_cap_ok" -> col("_k.title_kernel.cap_ok"),
+        "title_n_acronyms" -> col("_k.title_kernel.n_acronyms"),
+        "title_has_bulletin" -> col("_k.title_kernel.has_bulletin"),
         "http_links" -> col("_k.http_links"),
         "previews" -> col("_k.previews")))
 

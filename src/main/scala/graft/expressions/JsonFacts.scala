@@ -219,15 +219,51 @@ object JsonFacts {
     if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY)
       p.skipChildren()
 
-  /** Raw value substring by token char offsets; SQL NULL for JSON null
+  /** Parser + raw-slice source abstraction: the walk is identical over
+    * Jackson's byte-based (UTF8StreamJsonParser) and reader-based parsers;
+    * only parser construction, the offset accessors (byte vs char) and
+    * the raw-slice materialization differ. The byte source is the hot
+    * path (no String decode of the whole document, raw slices are
+    * zero-decode fromBytes); the char source is the exact pre-r6
+    * behavior, kept for inputs that are not valid UTF-8 (where the
+    * replacement-char decode of toString can make a byte-level-broken
+    * document parseable — byte parsing would throw instead). */
+  private abstract class RawSrc {
+    def createParser(f: JsonFactory): JsonParser
+    def tokenStart(p: JsonParser): Int
+    def cur(p: JsonParser): Int
+    def slice(start: Int, end: Int): UTF8String
+    def len: Int
+  }
+  private final class ByteSrc(bytes: Array[Byte]) extends RawSrc {
+    def createParser(f: JsonFactory): JsonParser =
+      f.createParser(bytes, 0, bytes.length)
+    def tokenStart(p: JsonParser): Int =
+      p.currentTokenLocation().getByteOffset.toInt
+    def cur(p: JsonParser): Int = p.currentLocation().getByteOffset.toInt
+    def slice(start: Int, end: Int): UTF8String =
+      UTF8String.fromBytes(bytes, start, end - start)
+    def len: Int = bytes.length
+  }
+  private final class CharSrc(s: String) extends RawSrc {
+    def createParser(f: JsonFactory): JsonParser = f.createParser(s)
+    def tokenStart(p: JsonParser): Int =
+      p.currentTokenLocation().getCharOffset.toInt
+    def cur(p: JsonParser): Int = p.currentLocation().getCharOffset.toInt
+    def slice(start: Int, end: Int): UTF8String =
+      UTF8String.fromString(s.substring(start, end))
+    def len: Int = s.length
+  }
+
+  /** Raw value slice by token offsets; SQL NULL for JSON null
     * (the `json_tuple` convention its consumers rely on). */
-  private def rawValue(p: JsonParser, s: String, t: JsonToken): UTF8String = {
+  private def rawValue(p: JsonParser, src: RawSrc, t: JsonToken): UTF8String = {
     if (t == JsonToken.VALUE_NULL) { return null }
-    val start = p.currentTokenLocation().getCharOffset.toInt
+    val start = src.tokenStart(p)
     skipValue(p, t)
-    val end = p.currentLocation().getCharOffset.toInt
-    if (start < 0 || end <= start || end > s.length) null
-    else UTF8String.fromString(s.substring(start, end))
+    val end = src.cur(p)
+    if (start < 0 || end <= start || end > src.len) null
+    else src.slice(start, end)
   }
 
   // ---- from_json-parity leaf/struct builders --------------------------
@@ -890,12 +926,26 @@ object JsonFacts {
     new GenericArrayData(out.toArray)
   }
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def facts(content: UTF8String): InternalRow = {
-    val s = content.toString
+  /** Static kernel shared by interpreted eval and generated code.
+    * Valid-UTF-8 input (the overwhelmingly common case) parses the BYTES
+    * directly — no whole-document String decode, zero-decode raw slices;
+    * anything else takes the exact pre-r6 char path (toString's
+    * replacement-char decode), so behavior on malformed UTF-8 is
+    * unchanged. */
+  def facts(content: UTF8String): InternalRow =
+    factsImpl(
+      if (content.isValid) new ByteSrc(content.getBytes)
+      else new CharSrc(content.toString))
+
+  /** test seam: force the char path (the pre-r6 behavior) so parity of
+    * the byte fast path is assertable input-for-input */
+  private[graft] def factsForcedChar(content: UTF8String): InternalRow =
+    factsImpl(new CharSrc(content.toString))
+
+  private def factsImpl(src: RawSrc): InternalRow = {
     val w = new Walk
     try {
-      val p = factory.createParser(s)
+      val p = src.createParser(factory)
       try {
         val t0 = p.nextToken()
         if (t0 == null) return FAILED
@@ -946,14 +996,14 @@ object JsonFacts {
                   else if (vt == JsonToken.VALUE_NULL) 3 else 2
                 if (vt != JsonToken.START_OBJECT) {
                   w.geomType = null; w.geomPositions = null
-                  w.geomRaw = rawValue(p, s, vt)
+                  w.geomRaw = rawValue(p, src, vt)
                 } else {
-                  val start = p.currentTokenLocation().getCharOffset.toInt
+                  val start = src.tokenStart(p)
                   walkGeometry(p, w)
-                  val end = p.currentLocation().getCharOffset.toInt
+                  val end = src.cur(p)
                   w.geomRaw =
-                    if (start < 0 || end <= start || end > s.length) null
-                    else UTF8String.fromString(s.substring(start, end))
+                    if (start < 0 || end <= start || end > src.len) null
+                    else src.slice(start, end)
                 }
               case "properties" =>
                 if (vt != JsonToken.START_OBJECT) {

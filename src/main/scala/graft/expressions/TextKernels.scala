@@ -153,17 +153,58 @@ object TextKernels {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
-  /** struct(words, stripped) for the K1 title checks: `title.split()`
-    * (Python no-arg split: strip, split on whitespace runs, no empties)
-    * and the acronym-stripped title
-    * (`pyStrip(regexp_replace(title, acronymRe, ""))`). The ws-run
-    * splitter is a char scan (r6: the regex split/strip machinery showed
-    * in the hot-path samples); \s-class parity with the declarative
-    * reference impl is pinned in FunctionsSpec. */
+  /** `^[\p{L}\p{N}]+$` ([[graft.functions.Wcmp2Functions.pyIsAlnum]])
+    * without regex: non-empty, every codepoint gc L* or N*. matches()
+    * semantics are safe here because the inputs are whitespace-split
+    * words (no embedded line terminators, so rlike's find() with anchors
+    * coincides). Parity pinned per-codepoint in OptimizationParitySpec. */
+  private[graft] def isAlnumPy(s: String): Boolean = {
+    val n = s.length
+    if (n == 0) return false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (!Character.isLetter(cp)) {
+        val t = Character.getType(cp)
+        if (t != Character.DECIMAL_DIGIT_NUMBER &&
+            t != Character.LETTER_NUMBER && t != Character.OTHER_NUMBER)
+          return false
+      }
+      i += Character.charCount(cp)
+    }
+    true
+  }
+
+  /** `pyCapitalize(c) === c` ([[graft.functions.Wcmp2Functions
+    * .pyCapitalize]]: first char upper, rest lower, '' -> '') computed
+    * with the SAME UTF8String substring/upper/lower/concat kernels the
+    * declarative expression compiles to — bit parity by construction. */
+  private def isCapitalized(u: UTF8String): Boolean = {
+    if (u.numChars() == 0) true
+    else UTF8String.concat(
+      u.substringSQL(1, 1).toUpperCase,
+      u.substringSQL(2, u.numChars()).toLowerCase).equals(u)
+  }
+
+  private val bulletinRe = Pattern.compile("[A-Z]{4}\\d{2}[\\s_]*[A-Z]{4}")
+
+  /** struct(words, stripped, all_alnum, cap_ok, n_acronyms, has_bulletin)
+    * for the K1 title checks: `title.split()` (Python no-arg split:
+    * strip, split on whitespace runs, no empties), the acronym-stripped
+    * title (`pyStrip(regexp_replace(title, acronymRe, ""))`), and the
+    * four scalar title facts the KPI rule previously recomputed with
+    * per-word interpreted regexes (forall+rlike) and duplicated
+    * regexp_extract_all/rlike trees — one kernel call materializes all
+    * of them (r6: per-word regex in the forall lambda and the duplicate
+    * acronym scans showed in the hot-path samples; the tree shrink also
+    * cuts per-query planning). The ws-run splitter is a char scan;
+    * \s-class and per-fact parity with the declarative reference impls
+    * are pinned in FunctionsSpec/OptimizationParitySpec. */
   def titleWords(title: UTF8String): InternalRow = {
     val s = title.toString
     val stripped0 = pyStrip(s)
     val words = new ArrayBuffer[Any](8)
+    var allAlnum = true
     var i = 0
     val n = stripped0.length
     while (i < n) {
@@ -171,13 +212,23 @@ object TextKernels {
       else {
         val start = i
         while (i < n && !isWsCh(stripped0.charAt(i))) i += 1
-        words += UTF8String.fromString(stripped0.substring(start, i))
+        val w = stripped0.substring(start, i)
+        if (allAlnum && !isAlnumPy(w)) allAlnum = false
+        words += UTF8String.fromString(w)
       }
     }
     val strippedAcr = pyStrip(acronymRe.matcher(s).replaceAll(""))
-    val a = new Array[Any](2)
+    var nAcronyms = 0
+    val am = acronymRe.matcher(s)
+    while (am.find()) nAcronyms += 1
+    val a = new Array[Any](6)
     a(0) = new GenericArrayData(words.toArray)
     a(1) = UTF8String.fromString(strippedAcr)
+    a(2) = java.lang.Boolean.valueOf(allAlnum)
+    a(3) = java.lang.Boolean.valueOf(
+      isCapitalized(UTF8String.fromString(strippedAcr)))
+    a(4) = java.lang.Integer.valueOf(nAcronyms)
+    a(5) = java.lang.Boolean.valueOf(bulletinRe.matcher(s).find())
     new GenericInternalRow(a)
   }
 }
@@ -196,12 +247,17 @@ case class Misspelled(child: Expression) extends StringInputExpr {
   override def prettyName: String = "misspelled_tokens"
 }
 
-/** struct(words array<string>, stripped string) — see [[TextKernels]]. */
+/** struct(words array<string>, stripped string, all_alnum, cap_ok,
+  * n_acronyms, has_bulletin) — see [[TextKernels]]. */
 case class TitleWords(child: Expression) extends StringInputExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("words", ArrayType(StringType, containsNull = false),
       nullable = false),
-    StructField("stripped", StringType, nullable = false)))
+    StructField("stripped", StringType, nullable = false),
+    StructField("all_alnum", BooleanType, nullable = false),
+    StructField("cap_ok", BooleanType, nullable = false),
+    StructField("n_acronyms", IntegerType, nullable = false),
+    StructField("has_bulletin", BooleanType, nullable = false)))
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
     TextKernels.titleWords(input.asInstanceOf[UTF8String])

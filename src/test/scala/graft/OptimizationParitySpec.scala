@@ -110,6 +110,136 @@ class OptimizationParitySpec extends SparkSpec {
     }
   }
 
+  test("isAlnumPy matches ^[\\p{L}\\p{N}]+$ over single BMP codepoints") {
+    val re = Pattern.compile("^[\\p{L}\\p{N}]+$")
+    (0 to 0xFFFF).foreach { cp =>
+      if (!Character.isSurrogate(cp.toChar)) {
+        val s = new String(Character.toChars(cp))
+        assert(graft.expressions.TextKernels.isAlnumPy(s) ==
+          re.matcher(s).matches(), f"isAlnumPy mismatch at U+$cp%04X")
+      }
+    }
+    assert(!graft.expressions.TextKernels.isAlnumPy(""))
+    assert(graft.expressions.TextKernels.isAlnumPy("Ⅻ7åß"))
+    assert(!graft.expressions.TextKernels.isAlnumPy("a b"))
+    assert(!graft.expressions.TextKernels.isAlnumPy("a_b"))
+  }
+
+  test("title facts kernel fields: parity with the declarative KPI forms") {
+    val acronymRe = "\\b([A-Z]{2,}\\d*)\\b"
+    val bulletinRe = "[A-Z]{4}\\d{2}[\\s_]*[A-Z]{4}"
+    val titles = Seq(
+      "Surface weather observations", "surface weather observations",
+      "SURFACE Weather OBS2", "NOAA GOES-16 ABI imagery CONUS sector",
+      "TTAA00 CWAO observations", "TTAA00_CWAO bulletins",
+      "X", "", " ", "Étude de cas", "étude de cas",
+      "Data (with parens)", "A B C D E F", "ABCD12 EFGH stream",
+      "MIXeD CaSe TiTLe", "Weather2 data3", "ß-case edge ß",
+      "ACRO1 ACRO2 ACRO3 ACRO4 many acronyms",
+      "trailing spaces   ", "   leading", "tab\tseparated\ttitle")
+    val df = (titles.map(Option(_)) :+ None).toDF("t")
+    val declarative = df.select(
+        forall(F.pySplitWs(col("t")), F.pyIsAlnum).as("alnum"),
+        (F.pyCapitalize(F.pyStrip(regexp_replace(col("t"), acronymRe, "")))
+          === F.pyStrip(regexp_replace(col("t"), acronymRe, ""))).as("cap"),
+        size(regexp_extract_all(col("t"), lit(acronymRe), lit(1))).as("nacr"),
+        col("t").rlike(bulletinRe).as("bul"))
+      .collect()
+    val kernel = df.select(
+        graft.expressions.TitleWords.titleWords(col("t")).as("k"))
+      .select(col("k.all_alnum"), col("k.cap_ok"), col("k.n_acronyms"),
+        col("k.has_bulletin"))
+      .collect()
+    declarative.indices.foreach { i =>
+      val name = if (i < titles.length) s"'${titles(i)}'" else "null"
+      (0 to 3).foreach { c =>
+        assert(kernel(i).isNullAt(c) == declarative(i).isNullAt(c) &&
+          (kernel(i).isNullAt(c) || kernel(i).get(c) == declarative(i).get(c)),
+          s"title-fact col $c mismatch on $name: " +
+            s"kernel=${kernel(i)} declarative=${declarative(i)}")
+      }
+    }
+  }
+
+  test("topic-channel kernel: parity with the declarative level walk") {
+    import graft.dims.Dims
+    val channels = Seq(
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/surface-based-observations/synop",
+      "origin/a/wis2/ca-eccc-msc/data/core/weather",
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/landFixed",
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/x/y-z/t0",
+      "cache/a/wis2/de-dwd-test/metadata",
+      "cache/a/wis2/de-dwd-test/metadata/extra/kebab-ok",
+      "cache/a/wis2/de-dwd-test/metadata/Bad_Token",
+      "origin/a/wis2/ca-eccc-msc/reports/a/b",
+      "origin/a/wis2/ca-eccc-msc/data/core",           // too short for data
+      "origin/a/wis2/ca-eccc-msc/data/nope/weather/x", // bad policy
+      "origin/a/wis2/ca-eccc-msc/data/core/nodisc/x",  // bad discipline
+      "origin/a/wis2/unknown-centre/data/core/weather/x",
+      "origin/a/wis2/ca-eccc-msc/video/x",             // bad notification
+      "mirror/a/wis2/ca-eccc-msc/data/core/weather/x", // bad root
+      "origin/b/wis2/ca-eccc-msc/data/core/weather/x",
+      "origin/a/wis3/ca-eccc-msc/data/core/weather/x",
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/",  // trailing empty
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/experimental/ANY thing",
+      "", "a", "a/b/c/d", "////", "origin/a/wis2",
+      "origin/a/wis2/ca-eccc-msc/data/core/weather/synop/z1/z2/z3")
+    val tables: Seq[Option[Set[String]]] = Seq(
+      None,
+      Some(Dims.vendoredSubDisciplines),
+      Some(Dims.prefixClosure(Seq("weather/surface-based-observations/synop",
+        "climate/x"))),
+      Some(Set.empty[String]))
+    tables.foreach { table =>
+      val declarative = channels.toDF("c")
+        .select(Dims.validTopicChannel(col("c"), table))
+        .as[Boolean].collect()
+      val kernel = channels.toDF("c")
+        .select(graft.expressions.TopicChannelValid
+          .topicChannelValid(col("c"), table))
+        .as[Boolean].collect()
+      channels.indices.foreach { i =>
+        assert(kernel(i) == declarative(i),
+          s"channel parity mismatch on '${channels(i)}' (table=$table)")
+      }
+      // null input: the declarative composition lands in otherwise(false)
+      val nullRes = Seq(Option.empty[String]).toDF("c")
+        .select(Dims.validTopicChannel(col("c"), table).as("d"),
+          graft.expressions.TopicChannelValid
+            .topicChannelValid(col("c"), table).as("k"))
+        .as[(Boolean, Boolean)].head()
+      assert(nullRes == ((false, false)), s"null parity (table=$table)")
+    }
+  }
+
+  test("json facts: byte-parser fast path matches the char path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs =
+      sources.RecordTable.fixtureNames
+        .map(sources.RecordTable.fixtureContent) ++
+      sources.RecordTable.synthesize(spark, 40)
+        .select("content").as[String].collect() ++
+      Seq("", "{}", "[1,2]", "null", "{\"id\":\"x\",\"geometry\":" +
+        "{\"type\":\"Point\",\"coordinates\":[1.5,2]}}",
+        "{\"id\":\"café über 中文\"," +
+          "\"properties\":{\"title\":\"Étude\"}}",
+        "{\"id\":7} trailing", "{\"id\"")
+    docs.foreach { d =>
+      val u = UTF8String.fromString(d)
+      val fast = graft.expressions.JsonFacts.facts(u)
+      val char = graft.expressions.JsonFacts.factsForcedChar(u)
+      assert(fast.toString == char.toString,
+        s"byte/char facts mismatch on doc: ${d.take(80)}")
+    }
+    // invalid UTF-8 routes to the char path: behavior equals pre-r6
+    val bad = UTF8String.fromBytes(
+      "{\"id\":\"a ".getBytes("UTF-8") ++ Array[Byte](-1, -2) ++
+        "b\"}".getBytes("UTF-8"))
+    assert(!bad.isValid)
+    assert(graft.expressions.JsonFacts.facts(bad).toString ==
+      graft.expressions.JsonFacts.factsForcedChar(bad).toString)
+  }
+
   test("titleWords: char-scan strip/split parity with the regex form") {
     val titles = Seq("", " ", "  Surface   weather  ", "\tAB\fC\rD\nE ",
       "NOAA GOES-16 imagery", "x", " x ", "a  b", "café été",
