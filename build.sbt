@@ -46,5 +46,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"  // 32 local threads are GC-bound below ~32g,
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",  // 32 local threads are GC-bound below ~32g,
+  // -Xms = -Xmx: with a growing heap, ParallelGC young collections that
+  // coincide with heap expansion were measured at up to 9.8 s STW on
+  // this box (2.5G->5.1G growth mid-bench; the round-5 artifact's wild
+  // per-query outliers — 36 s q_simhash_pairs samples — are exactly
+  // these pauses landing inside a timed query). A fixed-size heap makes
+  // the same collection 20-600 ms. Standard practice for any fixed-size
+  // deployment (spark-submit sets executor Xms=Xmx the same way).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // raise the Metaspace high-water mark: every Spark query JIT-compiles
+  // fresh Janino codegen classes, and the default ~21 MB threshold fires
+  // a FULL GC ("Metadata GC Threshold") every few queries — measured 4
+  // full pauses inside the first minute of a bench run. 512 MB absorbs
+  // the whole suite's generated classes without metadata-triggered GCs.
+  "-XX:MetaspaceSize=512m",
 )

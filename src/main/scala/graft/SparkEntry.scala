@@ -101,7 +101,16 @@ object SparkEntry {
       synchronized {
         val path = s"$dir/$name.parquet"
         if (!written.contains(name)) {
-          mk.coalesce(1).write.mode("overwrite").parquet(path)
+          // repartition(1), NOT coalesce(1): coalesce back-propagates and
+          // collapses the whole upstream compute onto ONE task (measured:
+          // the media dump and the reference-BPE dump each ran their full
+          // per-row kernel work serially — 15.1 s media_dump_sec, ~4 s of
+          // q_token_bpe). repartition inserts an exchange, so the
+          // producing stages keep their parallelism and only the (small)
+          // finished dump rows funnel to the single writer task. Same
+          // rows, same single output file; row order within the file may
+          // differ, which nothing reads (both engines aggregate/sort).
+          mk.repartition(1).write.mode("overwrite").parquet(path)
           written += name
         }
         s.read.parquet(path)
@@ -138,8 +147,10 @@ object SparkEntry {
     * HOF-parity kernel test). */
   private[graft] def simhashSigTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "simhash_sigs") {
-      t(s, dir, "documents").select(col("doc_id").as("id"),
-        graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism) // one-split scan
+        .select(col("doc_id").as("id"),
+          graft.expressions.SimHash64.simhash64(col("text")).as("sig"))
     }
 
   /** Engine-computed MinHash LSH band rows `(id, band, band_hash)` over
@@ -170,10 +181,14 @@ object SparkEntry {
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir))) {
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.expressions.ImageOps.synthMedia(
-          pmod(col("doc_id"), lit(100L)),
-          pmod(col("doc_id") * 7 + 3, lit(12L)).cast("int")).as("media"))
+      // repartition BEFORE the per-row encode: the one-split scan would
+      // otherwise run every PNG/BMP/JPEG encode on a single task
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.expressions.ImageOps.synthMedia(
+            pmod(col("doc_id"), lit(100L)),
+            pmod(col("doc_id") * 7 + 3, lit(12L)).cast("int")).as("media"))
     }
 
   /** Per-doc BPE token counts computed by the INDEPENDENT reference
@@ -187,7 +202,11 @@ object SparkEntry {
   private[graft] def bpeRefTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "bpe_ref") {
       import s.implicits._
+      // a one-file parquet scan is ONE split, which would serialize the
+      // (deliberately slow, structurally independent) reference BPE onto
+      // one core — spread the rows across the session's parallelism first
       t(s, dir, "documents").select("doc_id", "lang", "text")
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String, String)]
         .map { case (id, lang, txt) =>
           (id, lang, graft.tools.BpeReference.count(txt)) }
@@ -202,7 +221,9 @@ object SparkEntry {
   private[graft] def adpcmRefTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "adpcm_ref") {
       import s.implicits._
-      t(s, dir, "documents").select("doc_id").as[Long]
+      t(s, dir, "documents").select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism) // one-split scan
+        .as[Long]
         .map { id =>
           val f = graft.tools.AdpcmReference
             .features(graft.expressions.AudioOps.synthWavAdpcm(id)).get

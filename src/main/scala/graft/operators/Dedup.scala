@@ -399,26 +399,21 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // pair DISTINCT signatures (two distinct sigs always have
     // hamming >= 1, so these are disjoint from `within` by construction).
-    // JOIN-shaped, not collect_list+explode: a low-entropy chunk can put
-    // thousands of distinct sigs in one bucket (measured at sf0.1: max
-    // bucket 2,054 sigs = 2M pairs), and the collect shape materializes
-    // that bucket's whole pair array in ONE row on ONE task. The
-    // self-equi-join on the bucket key streams the same cross product
-    // and AQE's skew-join splits a hot key across tasks.
+    // Native in-bucket pair generation ([[graft.expressions
+    // .HammingPairs]]): members collect per bounded bucket (the cap
+    // bounds both the buffer and the m^2/2 scan) and a precompiled
+    // xor+popcount loop emits ONLY the surviving pairs — the join-shaped
+    // r5 formulation streamed every candidate pair through SMJ row
+    // machinery (measured at sf0.1: 10.4M joined rows to keep 964,
+    // 200 CPU-s on a cold run); the kernel does the same scan at ~5 ns
+    // per candidate, so even a full maxBucket bucket is milliseconds on
+    // one task, not a straggler.
     val keys = Seq("chunk", "chunk_val")
-    val kept = chunkRows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n").between(2, maxBucket))
-      .select(keys.map(col): _*)
-    val keptRows = chunkRows.join(kept, keys)
-    val sigPairs = keptRows.select(col("chunk"), col("chunk_val"),
-        col("sig").as("sig_a"))
-      .join(keptRows.select(col("chunk"), col("chunk_val"),
-        col("sig").as("sig_b")), keys)
-      .where(col("sig_a") < col("sig_b"))
-      .select(col("sig_a"), col("sig_b"),
-        hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    val sigPairs = boundedBucketMembers(chunkRows, keys, col("sig"),
+        maxBucket)
+      .select(explode(graft.expressions.HammingPairs.hammingPairs(
+        col("members"), maxHamming)).as("p"))
+      .select(col("p.sig_a"), col("p.sig_b"), col("p.hamming"))
       .dropDuplicates("sig_a", "sig_b")
     // expand sig pairs to member pairs: two output-sized equi-joins
     val cross = sigPairs
@@ -656,13 +651,24 @@ object Dedup {
     def truncated(df: DataFrame)
         : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
       // copy: codegen reuses its UnsafeRow buffer, so persisting the raw
-      // iterator's references would alias every row in a partition
+      // iterator's references would alias every row in a partition.
+      // toRdd FIRST (builds the adaptive physical plan), then the
+      // partitioning-preserving wrap — the round output is
+      // hash-partitioned by `id`, and carrying that into the truncated
+      // plan lets next round's id-keyed joins skip re-exchanging the
+      // labels side (r6: 2 of the ~6 per-round exchanges were re-shuffles
+      // of the already-id-partitioned labels cache).
       val rdd = df.queryExecution.toRdd.map(_.copy())
         .persist(StorageLevel.MEMORY_AND_DISK)
-      (shims.internalDf(spark, rdd, df.schema), rdd)
+      (shims.truncatedDf(df, rdd), rdd)
     }
+    // edges pre-partitioned by the lookup key `b` ONCE: every round joins
+    // edges to labels on b, and a bare persisted union would re-shuffle
+    // the edge table EVERY round (shuffle reuse does not cross jobs) —
+    // the cached partitioning makes the per-round neighbor join reuse it
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .repartition(spark.sparkContext.defaultParallelism, col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
     var labelsRdd: org.apache.spark.rdd.RDD[_] = null
@@ -688,14 +694,23 @@ object Dedup {
         // pointer jump: my label's current label (labels self-join)
         val viaParent = labels.select(col("id").as("_pid"),
           col("component").as("parent_component"))
+        // pointer-jump join FIRST, id-keyed neighbor join LAST: the round
+        // then ENDS partitioned by id, which the partitioning-preserving
+        // truncation carries into next round — labels re-enter their
+        // id-keyed joins (and the alias-renamed b-keyed neighbor join)
+        // without a fresh exchange. Same rows, same least(): the parent
+        // lookup is unique per row (labels ids are unique), so join order
+        // only reassociates the commutative least.
         val (next, nextRdd) = truncated(
           labels.select(col("id"), col("component").as("old"))
-            .join(viaNeighbors, Seq("id"), "left")
             .join(viaParent, col("old") === col("_pid"), "left")
+            .select(col("id"), col("old"),
+              coalesce(col("parent_component"), col("old")).as("_jump"))
+            .join(viaNeighbors, Seq("id"), "left")
             .select(col("id"),
               least(col("old"),
                 coalesce(col("nbr_component"), col("old")),
-                coalesce(col("parent_component"), col("old"))).as("component"),
+                col("_jump")).as("component"),
               col("old"))
             .select(col("id"), col("component"),
               (col("component") < col("old")).as("_changed")))

@@ -27,4 +27,24 @@ object shims {
       : org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** [[internalDf]] that also carries the origin frame's output
+    * partitioning/ordering into the truncated plan (the SAME
+    * `LogicalRDD.fromDataset` entry point `Dataset.localCheckpoint`
+    * uses). An iterative algorithm whose round output is hash-partitioned
+    * by its join key then re-joins WITHOUT re-exchanging that side next
+    * round; the plain [[internalDf]] drops the partitioning and forces a
+    * fresh shuffle of every cached reference. Call AFTER `toRdd` has
+    * built the (adaptive) physical plan so the recorded partitioning is
+    * the executed one. */
+  def truncatedDf(origin: org.apache.spark.sql.DataFrame,
+                  rdd: org.apache.spark.rdd.RDD[
+                    org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    val ds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+  }
 }
