@@ -97,20 +97,27 @@ object SparkEntry {
     /** the read_parquet glob the oracle SQL uses for table `name` */
     def glob(name: String): String = s"$dir/$name.parquet/*.parquet"
     private val written = scala.collection.mutable.Set[String]()
-    def table(s: SparkSession, name: String)(mk: => DataFrame): DataFrame =
+    /** @param files output file count. repartition(files), NOT
+      *   coalesce: coalesce back-propagates and collapses the whole
+      *   upstream compute onto `files` tasks (measured: the media dump
+      *   and the reference-BPE dump each ran their full per-row kernel
+      *   work serially — 15.1 s media_dump_sec, ~4 s of q_token_bpe).
+      *   repartition inserts an exchange, so the producing stages keep
+      *   their parallelism and only the (small) finished dump rows
+      *   funnel to the writers. Dumps that Spark queries RE-SCAN pass
+      *   files = defaultParallelism: a 1-file dump is ONE scan split,
+      *   which would serialize the consumer's per-row work (and force
+      *   the operators' parallelism-guard repartition to shuffle the
+      *   payload again); a multi-file dump scans wide with no extra
+      *   exchange. Oracle-only dumps keep the single file. Same rows
+      *   either way; row order is not load-bearing (both engines
+      *   aggregate/sort). */
+    def table(s: SparkSession, name: String, files: Int = 1)
+             (mk: => DataFrame): DataFrame =
       synchronized {
         val path = s"$dir/$name.parquet"
         if (!written.contains(name)) {
-          // repartition(1), NOT coalesce(1): coalesce back-propagates and
-          // collapses the whole upstream compute onto ONE task (measured:
-          // the media dump and the reference-BPE dump each ran their full
-          // per-row kernel work serially — 15.1 s media_dump_sec, ~4 s of
-          // q_token_bpe). repartition inserts an exchange, so the
-          // producing stages keep their parallelism and only the (small)
-          // finished dump rows funnel to the single writer task. Same
-          // rows, same single output file; row order within the file may
-          // differ, which nothing reads (both engines aggregate/sort).
-          mk.repartition(1).write.mode("overwrite").parquet(path)
+          mk.repartition(files).write.mode("overwrite").parquet(path)
           written += name
         }
         s.read.parquet(path)
@@ -124,7 +131,7 @@ object SparkEntry {
     * one query compute on a different frame than the dump its oracle
     * reads. */
   private def etsCorpus(s: SparkSession): DataFrame =
-    OracleDump.table(s, "records_ets") {
+    OracleDump.table(s, "records_ets", s.sparkContext.defaultParallelism) {
       RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
         .unionAll(RecordTable.gateEdgeRecords(s))
     }
@@ -146,7 +153,7 @@ object SparkEntry {
     * engine-defined — those are pinned separately by SimHash64's
     * HOF-parity kernel test). */
   private[graft] def simhashSigTable(s: SparkSession, dir: String): DataFrame =
-    OracleDump.table(s, "simhash_sigs") {
+    OracleDump.table(s, "simhash_sigs", s.sparkContext.defaultParallelism) {
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism) // one-split scan
         .select(col("doc_id").as("id"),
@@ -161,7 +168,8 @@ object SparkEntry {
     * band->bucket->pair->verify composition is oracle-checked, not just
     * its verification tail. */
   private[graft] def minhashBandTable(s: SparkSession, dir: String): DataFrame =
-    OracleDump.table(s, "minhash_bands") {
+    OracleDump.table(s, "minhash_bands",
+        s.sparkContext.defaultParallelism) {
       Dedup.minhashBandRows(t(s, dir, "documents"), "text", "doc_id",
         k = 64, bands = 16, shingleN = 3)
     }
@@ -173,14 +181,15 @@ object SparkEntry {
     * are engine-defined (pinned by SignSketch's HOF-parity test), the
     * bucketing/pairing/threshold machinery is what the oracle checks. */
   private[graft] def embSigTable(s: SparkSession, dir: String): DataFrame =
-    OracleDump.table(s, "emb_sigs") {
+    OracleDump.table(s, "emb_sigs", s.sparkContext.defaultParallelism) {
       Dedup.embeddingSigRows(t(s, dir, "embeddings"), "embedding",
         "vec_id", planes = 8)
     }
 
   private[graft] def imageMediaTable(s: SparkSession, dir: String): DataFrame =
     OracleDump.table(s, "image_media_" + Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))) {
+        scala.util.hashing.MurmurHash3.stringHash(dir)),
+        s.sparkContext.defaultParallelism) {
       // repartition BEFORE the per-row encode: the one-split scan would
       // otherwise run every PNG/BMP/JPEG encode on a single task
       t(s, dir, "documents").select(col("doc_id"))

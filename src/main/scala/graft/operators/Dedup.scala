@@ -153,6 +153,16 @@ object Dedup {
     explode(flatten(transform(members, (x, i) =>
       transform(slice(members, i + 2, size(members)), y => pairFn(x, y)))))
 
+  /** The pre-r6 HOF cosine-pair formulation over `struct(id, norm, vec)`
+    * members — kept ONLY as the parity reference for the native
+    * [[graft.expressions.CosinePairs]] kernel (OptimizationParitySpec). */
+  private[graft] def bucketPairsForTest(members: Column): Column =
+    bucketPairs(members, (x, y) => struct(
+      x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+      (graft.expressions.VectorOps.dotProduct(
+          x.getField("vec"), y.getField("vec")) /
+        (x.getField("norm") * y.getField("norm"))).as("cosine")))
+
   /** Bucket-bounding stage shared by the LSH variants. `rows` is the
     * persisted signature frame; one count-only aggregate (map-side
     * partials, immune to hot buckets) finds the buckets sized in
@@ -205,12 +215,14 @@ object Dedup {
   private[graft] def minhashBandRows(df: DataFrame, textCol: String, idCol: String,
                               k: Int, bands: Int, shingleN: Int): DataFrame = {
     val r = k / bands
-    // two Generate barriers: tokens materialized once per row, then
-    // shingles built FROM THE TOKEN ATTRIBUTE (see shinglesFromTokens)
+    // native fused shingle kernel feeding the native signature kernel —
+    // one call per row each, no Generate barriers needed (the kernel
+    // output is referenced exactly once, so CollapseProject inlining is
+    // harmless); the declarative tokens->shinglesFromTokens chain stays
+    // as the parity-pinned reference implementation
     parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), explode(array(tokens(col("text")))).as("toks"))
       .select(col("id"),
-        explode(array(shinglesFromTokens(col("toks"), shingleN))).as("sh"))
+        graft.expressions.Ngrams.shinglesCol(col("text"), shingleN).as("sh"))
       // native codegen'd signature (bit-identical to
       // minhashSignatureFromShingles, the HOF reference impl)
       .select(col("id"),
@@ -259,6 +271,9 @@ object Dedup {
                  threshold: Double = 0.7, shingleN: Int = 3,
                  maxBucket: Int = 200): DataFrame = {
     val bandRows = bandRows0.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager cache fill — see hammingDedup: concurrent AQE stages would
+    // otherwise race the cache and re-run the banding scan per reference
+    bandRows.count()
     val candidates = boundedBucketMembers(bandRows,
         Seq("band", "band_hash"), col("id"), maxBucket)
       .select(bucketPairs(col("members"),
@@ -377,6 +392,16 @@ object Dedup {
   private[graft] def hammingDedup(sigRows0: DataFrame, maxHamming: Int,
                            maxBucket: Int): DataFrame = {
     val sigRows = sigRows0.persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the signature cache EAGERLY: the downstream plan
+    // references it from several AQE-materialized shuffle stages that
+    // start CONCURRENTLY, and cache population is per-partition — racing
+    // stages each recompute the signature projection until blocks land
+    // (measured on q_image_neardup: two full ~7.7 CPU-s decode passes in
+    // one "single-scan" run). One count() fills the cache once, so the
+    // expensive per-row signature work truly runs once — the single-scan
+    // contract this module documents. Cost: one extra job over the
+    // already-cached narrow rows.
+    sigRows.count()
     // Identical signatures collapse BEFORE the pigeonhole. Mass
     // duplication — the common case in web corpora, and exactly what a
     // near-dup corpus looks like — would otherwise park every member of
@@ -509,8 +534,7 @@ object Dedup {
                    n: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"),
-        explode(array(tokens(col(textCol)))).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+        graft.expressions.Ngrams.shinglesCol(col(textCol), n).as("sh"))
     joinJaccard(sh, pairs)
   }
 
@@ -530,8 +554,8 @@ object Dedup {
     // tokenize/shingle only the surviving candidate docs
     val sh = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(ids, Seq("id"), "left_semi")
-      .select(col("id"), explode(array(tokens(col("text")))).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("id"),
+        graft.expressions.Ngrams.shinglesCol(col("text"), n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (joinJaccard(sh, pairs), sh)
   }
@@ -596,15 +620,18 @@ object Dedup {
                        threshold: Double,
                        maxBucket: Int): DataFrame = {
     val sigRows = sigRows0.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager cache fill — see hammingDedup: concurrent AQE stages would
+    // otherwise race the cache and re-run the sketch scan per reference
+    sigRows.count()
+    // native in-bucket pair generation + threshold filter in one kernel
+    // call per bucket (CosinePairs) — the bucketPairs HOF this replaces
+    // re-entered the expression interpreter per pair; the declarative
+    // form remains the parity reference (OptimizationParitySpec)
     val pairs = owned(boundedBucketMembers(sigRows, Seq("bucket"),
         struct(col("id"), col("norm"), col("vec")), maxBucket)
-      .select(bucketPairs(col("members"), (x, y) => struct(
-        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-        (graft.expressions.VectorOps.dotProduct(
-            x.getField("vec"), y.getField("vec")) /
-          (x.getField("norm") * y.getField("norm"))).as("cosine"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine"))
-      .where(col("cosine") >= threshold))
+      .select(explode(graft.expressions.CosinePairs.cosinePairs(
+        col("members"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine").as("cosine")))
     // materialize so the sig cache can be freed (finally: error-safe)
     try pairs.count() finally sigRows.unpersist()
     pairs
@@ -700,7 +727,11 @@ object Dedup {
         // id-keyed joins (and the alias-renamed b-keyed neighbor join)
         // without a fresh exchange. Same rows, same least(): the parent
         // lookup is unique per row (labels ids are unique), so join order
-        // only reassociates the commutative least.
+        // only reassociates the commutative least. (A double pointer
+        // jump — two parent hops per round for ~log3 instead of log2
+        // convergence — was measured SLOWER end-to-end at bench scale:
+        // the extra per-round join/stage costs more than the saved
+        // rounds; rejected A/B, see OPTIMIZATION_r06.md.)
         val (next, nextRdd) = truncated(
           labels.select(col("id"), col("component").as("old"))
             .join(viaParent, col("old") === col("_pid"), "left")

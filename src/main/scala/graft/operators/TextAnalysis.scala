@@ -182,12 +182,14 @@ object TextAnalysis {
   def contamination(docs: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 13): DataFrame = {
+    // native fused tokenize+shingle+hash kernel: ONE Generate per side
+    // instead of two, no interpreted per-shingle lambdas (the declarative
+    // twin — tokens explode, shinglesFromTokens, transform(xxhash64) —
+    // stays the parity-pinned reference in Dedup/OptimizationParitySpec)
     def gramRows(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(textCol).as("_text"))
-        .select(col(idAs), explode(array(tokens(col("_text")))).as("_toks"))
-        .select(col(idAs), explode(transform(
-          Dedup.shinglesFromTokens(col("_toks"), n),
-          s => xxhash64(s))).as("gram"))
+        .select(col(idAs), explode(graft.expressions.Ngrams.ngramHashes(
+          col("_text"), n)).as("gram"))
     // benchmark corpora are test sets — small by construction — so the
     // distinct gram-hash set broadcasts: the corpus side then never
     // shuffles for the join (only the per-doc count aggregation does)

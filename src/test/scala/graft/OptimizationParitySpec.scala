@@ -265,4 +265,110 @@ class OptimizationParitySpec extends SparkSpec {
       assert(stripped == refAcr, s"stripped mismatch on '$s'")
     }
   }
+
+  test("langid kernel: decision parity with the declarative HOF argmax") {
+    val texts = adversarial ++ Seq(
+      null,
+      "the cat and the dog is on a mat",              // en
+      "le chat est dans la maison pour un an",        // fr
+      "der hund und die katze ist in den garten",     // de
+      "el perro y la casa en un dia para todos",      // es
+      "de la en un",                                  // tie-heavy overlap
+      "la de",                                        // exact tie es/fr
+      "in des",                                       // tie en/de words
+      "THE AND OF TO", "The\tAnd\nOf",                // case + \s classes
+      "zzz qqq www", "", "   ",
+      "und und und la la la")                         // de vs es tie
+    import graft.operators.TextAnalysis
+    val df = texts.toDF("s")
+    val kernel = df.select(TextAnalysis.languageId(col("s")))
+      .as[String].collect()
+    val declarative = df.select(
+      TextAnalysis.languageIdFromTokens(TextAnalysis.tokens(col("s"))))
+      .as[String].collect()
+    texts.indices.foreach { i =>
+      assert(kernel(i) == declarative(i),
+        s"langid mismatch on '${texts(i)}': " +
+          s"kernel=${kernel(i)} declarative=${declarative(i)}")
+    }
+  }
+
+  test("shingle kernels: parity with the declarative tokens->shingles " +
+       "chain (strings and xxhash64 values), n=3 and n=13") {
+    import graft.operators.Dedup
+    val texts = adversarial ++ Seq(null, "one two three four five six",
+      "short", "a b", "  spaced   out\ttokens\nhere  ")
+    for (n <- Seq(3, 13)) {
+      val df = texts.toDF("s")
+      val kernelS = df.select(
+        graft.expressions.Ngrams.shinglesCol(col("s"), n)).as[Seq[String]]
+        .collect()
+      val declS = df.select(
+        Dedup.shinglesFromTokens(Dedup.tokens(col("s")), n))
+        .as[Seq[String]].collect()
+      val kernelH = df.select(
+        graft.expressions.Ngrams.ngramHashes(col("s"), n)).as[Seq[Long]]
+        .collect()
+      val declH = df.select(transform(
+        Dedup.shinglesFromTokens(Dedup.tokens(col("s")), n),
+        s => xxhash64(s))).as[Seq[Long]].collect()
+      texts.indices.foreach { i =>
+        assert(kernelS(i) == declS(i), s"shingles mismatch n=$n on '${texts(i)}'")
+        assert(kernelH(i) == declH(i), s"hashes mismatch n=$n on '${texts(i)}'")
+      }
+    }
+  }
+
+  test("HammingPairs kernel: pair-set parity with the join-shaped " +
+       "formulation over a dense signature set") {
+    // signatures engineered for dense buckets: low-entropy low bits
+    val sigs = (0L until 400L).map(i => (i % 37) | ((i / 37) << 58)) ++
+      Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 42L, 43L)
+    val members = sigs.distinct.sorted
+    for (maxH <- Seq(0, 3, 8, 63)) {
+      val kernel = Seq(members).toDF("m")
+        .select(explode(graft.expressions.HammingPairs.hammingPairs(
+          col("m"), maxH)).as("p"))
+        .select("p.sig_a", "p.sig_b", "p.hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val reference = (for {
+        i <- members.indices; j <- (i + 1) until members.size
+        h = java.lang.Long.bitCount(members(i) ^ members(j))
+        if h <= maxH
+      } yield (members(i), members(j), h)).toSet
+      assert(kernel == reference, s"pair mismatch at maxH=$maxH")
+    }
+  }
+
+  test("CosinePairs kernel: survivor-set parity with the bucketPairs " +
+       "HOF + where(cosine >= t) under ANSI (zero-norm vectors throw in both)") {
+    import graft.operators.Dedup
+    // members: ids with vectors engineered for near/far cosines plus a
+    // zero vector (0/0 = NaN, which Spark's ordering keeps)
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.9, 0.1, 0.0),
+      3L -> Seq(-1.0, 0.0, 0.0), 4L -> Seq(0.1, -0.9, 0.3),
+      5L -> Seq(0.5, 0.5, 0.5), 6L -> Seq(1.0, 1.0, 1.0))
+    val df = vecs.toDF("id", "vec")
+      .select(col("id"), col("vec"),
+        sqrt(graft.expressions.VectorOps.dotProduct(col("vec"), col("vec")))
+          .as("norm"))
+      .groupBy(lit(1))
+      .agg(sort_array(collect_list(struct(col("id"), col("norm"),
+        col("vec")))).as("members"))
+    for (t <- Seq(0.2, 0.9, -2.0)) {
+      val kernel = df.select(explode(
+          graft.expressions.CosinePairs.cosinePairs(col("members"), t))
+          .as("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, f"$c%.9f") }.toSet
+      val hof = df.select(Dedup.bucketPairsForTest(col("members")).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+        .where(col("cosine") >= t)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, f"$c%.9f") }.toSet
+      assert(kernel == hof, s"cosine pair mismatch at t=$t")
+    }
+  }
 }

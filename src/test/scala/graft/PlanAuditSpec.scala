@@ -112,8 +112,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash signature stage is narrow: no hash/range shuffle of " +
-       "document text before banding; tokens+shingles behind Generate " +
-       "barriers") {
+       "document text before banding; native shingle+signature kernels " +
+       "in the projection") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = formatted(
       Dedup.minhashBandRows(docs, "text", "doc_id", 64, 16, 3))
@@ -122,12 +122,12 @@ class PlanAuditSpec extends SparkSpec {
     // cores); a hash/range exchange here would shuffle corpus text
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("rangepartitioning"), p)
-    // the two single-evaluation barriers (tokens, then shingles FROM the
-    // token attribute) — the plan shape that prevents per-element
-    // re-tokenization inside the higher-order signature lambdas
-    val generates = p.linesIterator
-      .count(_.trim.matches("""\(\d+\) Generate( .*)?"""))
-    assert(generates >= 2, p)
+    // the signature projection runs the NATIVE kernels (one call per
+    // row each, r6) — the pre-r6 shape needed two Generate barriers to
+    // keep the interpreted HOF chain single-evaluation; the kernels make
+    // the barrier question moot (each output is referenced once)
+    assert(p.contains("shingles("), p)
+    assert(p.contains("minhash_sig("), p)
   }
 
   test("decontamination joins the corpus against a BROADCAST benchmark " +
