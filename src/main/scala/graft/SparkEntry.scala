@@ -132,7 +132,10 @@ object SparkEntry {
     * reads. */
   private def etsCorpus(s: SparkSession): DataFrame =
     OracleDump.table(s, "records_ets", s.sparkContext.defaultParallelism) {
-      RecordTable.synthesize(s, 3000).unionAll(RecordTable.fixtures(s))
+      // one task wave, not synthesize's default 4 waves: 3,000 rows at
+      // 128 partitions is 23 rows/task — pure task overhead at dump size
+      RecordTable.synthesize(s, 3000, s.sparkContext.defaultParallelism)
+        .unionAll(RecordTable.fixtures(s))
         .unionAll(RecordTable.gateEdgeRecords(s))
     }
 
