@@ -31,11 +31,14 @@ object Ngrams {
     * class `split(text, "\\s+")` tokenizes with. */
   private def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
 
-  /** distinct shingle STRINGS in first-occurrence order (array_distinct
-    * semantics); docs shorter than n words contribute the whole text as
-    * one shingle (including '' for token-less text — concat_ws over an
-    * empty slice). */
-  private[expressions] def shingleStrings(text: UTF8String, n: Int)
+  /** shingle STRINGS in document order; `dedup = true` keeps only the
+    * first occurrence (array_distinct semantics), `dedup = false` keeps
+    * every window (the repetition-stats convention, where duplicate
+    * grams ARE the signal). Docs shorter than n words contribute the
+    * whole text as one shingle (including '' for token-less text —
+    * concat_ws over an empty slice). */
+  private[expressions] def shingleStrings(text: UTF8String, n: Int,
+                                          dedup: Boolean = true)
       : ArrayBuffer[String] = {
     val lowered = text.toLowerCase.toString
     val len = lowered.length
@@ -50,10 +53,10 @@ object Ngrams {
       }
     }
     val out = new ArrayBuffer[String](math.max(toks.length - n + 1, 1))
-    val seen = new java.util.HashSet[String](64)
+    val seen = if (dedup) new java.util.HashSet[String](64) else null
     if (toks.length < n) {
       val s = toks.mkString(" ")
-      if (seen.add(s)) out += s
+      if (seen == null || seen.add(s)) out += s
     } else {
       val sb = new java.lang.StringBuilder(64)
       var w = 0
@@ -66,15 +69,23 @@ object Ngrams {
           j += 1
         }
         val s = sb.toString
-        if (seen.add(s)) out += s
+        if (seen == null || seen.add(s)) out += s
         w += 1
       }
     }
     out
   }
 
-  def computeStrings(text: UTF8String, n: Int): GenericArrayData = {
-    val ss = shingleStrings(text, n)
+  def computeStrings(text: UTF8String, n: Int): GenericArrayData =
+    toUtf8Array(shingleStrings(text, n))
+
+  /** every shingle window, duplicates kept — the
+    * `explode(when(size < n, ...).otherwise(transform(sequence(...))))`
+    * twin used by repetition stats. */
+  def computeAllStrings(text: UTF8String, n: Int): GenericArrayData =
+    toUtf8Array(shingleStrings(text, n, dedup = false))
+
+  private def toUtf8Array(ss: ArrayBuffer[String]): GenericArrayData = {
     val arr = new Array[Any](ss.length)
     var i = 0
     while (i < ss.length) { arr(i) = UTF8String.fromString(ss(i)); i += 1 }
@@ -100,6 +111,11 @@ object Ngrams {
     shims.column(Shingles(shims.expression(text), n))
   }
 
+  def shinglesAllCol(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(ShinglesAll(shims.expression(text), n))
+  }
+
   def ngramHashes(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(NgramHashes(shims.expression(text), n))
@@ -117,6 +133,21 @@ case class Shingles(child: Expression, n: Int) extends StringInputExpr {
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "shingles"
+}
+
+/** `array<string>` of ALL word n-gram windows (duplicates kept) — see
+  * [[Ngrams.computeAllStrings]]. */
+case class ShinglesAll(child: Expression, n: Int) extends StringInputExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    Ngrams.computeAllStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Ngrams.computeAllStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "shingles_all"
 }
 
 /** `array<bigint>` of xxhash64'd distinct shingles — see [[Ngrams]]. */

@@ -187,7 +187,8 @@ object TextAnalysis {
     // twin — tokens explode, shinglesFromTokens, transform(xxhash64) —
     // stays the parity-pinned reference in Dedup/OptimizationParitySpec)
     def gramRows(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), col(textCol).as("_text"))
+      Dedup.parallelize(
+          df.select(col(idCol).as(idAs), col(textCol).as("_text")))
         .select(col(idAs), explode(graft.expressions.Ngrams.ngramHashes(
           col("_text"), n)).as("gram"))
     // benchmark corpora are test sets — small by construction — so the
@@ -217,8 +218,12 @@ object TextAnalysis {
     * occurrence), `top_gram_frac` (most frequent gram's share). */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    // small-input parallelism guard (the Dedup.parallelize contract): a
+    // one-split scan would run the per-row gram/line work on one task —
+    // measured 1.6 CPU-s serial for the 300-doc bench slice
+    val d = Dedup.parallelize(docs.select(col(idCol), col(textCol)))
     val id = col(idCol).as("id")
-    val lines = docs.select(id, explode(filter(
+    val lines = d.select(id, explode(filter(
         transform(split(col(textCol), "\n"), l => trim(l)),
         l => l =!= "")).as("line"))
       .groupBy("id", "line").agg(count(lit(1)).as("cnt"))
@@ -230,13 +235,12 @@ object TextAnalysis {
           coalesce(sum(when(col("cnt") > 1, length(col("line")) * col("cnt"))),
             lit(0L)).cast(DoubleType) /
           sum(length(col("line")) * col("cnt")), 6).as("dup_line_char_frac"))
-    val grams = docs
-      .select(id, explode(array(tokens(col(textCol)))).as("_toks"))
-      .select(col("id"), explode(when(size(col("_toks")) < n,
-          array(concat_ws(" ", col("_toks"))))
-        .otherwise(transform(sequence(lit(0), size(col("_toks")) - n),
-          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))))
-        .as("gram"))
+    // duplicates-kept native shingle kernel (ShinglesAll); the previous
+    // interpreted tokens->transform(sequence, concat_ws(slice)) chain is
+    // the parity-pinned reference (OptimizationParitySpec)
+    val grams = d
+      .select(id, explode(graft.expressions.Ngrams.shinglesAllCol(
+        col(textCol), n)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
         sum("cnt").as("n_grams"),
@@ -252,7 +256,7 @@ object TextAnalysis {
     * every signal derives from the attribute (tokenization would
     * otherwise be re-evaluated per referencing expression). */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    Dedup.parallelize(docs)
       .select(col("*"), explode(array(struct(
         tokens(col(textCol)).as("toks"),
         normalizedText(col(textCol)).as("norm")))).as("_t"))

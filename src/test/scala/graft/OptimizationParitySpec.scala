@@ -371,4 +371,28 @@ class OptimizationParitySpec extends SparkSpec {
       assert(kernel == hof, s"cosine pair mismatch at t=$t")
     }
   }
+
+  test("ShinglesAll kernel: window-for-window parity (duplicates kept) " +
+       "with the declarative repetition-gram chain") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val texts = adversarial ++ Seq(null,
+      "a b a b a b", "dup dup dup dup", "one two three one two three",
+      "boilerplate navigation menu\nboilerplate navigation menu")
+    for (n <- Seq(3, 5)) {
+      val df = texts.toDF("s")
+      val kernel = df.select(
+        graft.expressions.Ngrams.shinglesAllCol(col("s"), n))
+        .as[Seq[String]].collect()
+      val toks = TextAnalysis.tokens(col("s"))
+      val decl = df.select(coalesce(when(size(toks) < n,
+          array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))), lit(null)))
+        .as[Seq[String]].collect()
+      texts.indices.foreach { i =>
+        assert(kernel(i) == decl(i),
+          s"shingles-all mismatch n=$n on '${texts(i)}'")
+      }
+    }
+  }
 }
